@@ -1,0 +1,82 @@
+"""Benchmark: input bytes/s/chip at 10k patterns (the BASELINE north-star).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "bytes/s", "vs_baseline": N}
+
+The reference publishes no numbers (BASELINE.json "published": {}); its
+protocol is bytes*8/wall Mbps on urandom corpora with ClamAV-style hex
+signatures (SURVEY.md section 6). ``vs_baseline`` is therefore reported
+against a nominal 1 GB/s/chip north-star denominator.
+
+Workload: 10,000 random hex signatures truncated to 12 bytes (the reference's
+recommended ``-m 12`` for large ClamAV sets, README:71-83) scanned over
+random binary — the memory-bound regime (DFA table ~120k states in HBM,
+gather-dominated).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def build_workload(n_patterns: int = 10_000, pat_len: int = 12, seed: int = 42):
+    from tpu_pattern_matching.core.dfa import compile_patterns
+
+    rng = np.random.RandomState(seed)
+    pats = [bytes(rng.randint(0, 256, size=pat_len).astype(np.uint8))
+            for _ in range(n_patterns)]
+    return compile_patterns(pats)
+
+
+def main() -> None:
+    import jax
+
+    from tpu_pattern_matching.ops.match_xla import scan_batch
+    from tpu_pattern_matching.ops.table import DeviceTable
+
+    table = build_workload()
+    dev = DeviceTable.put(table)
+    halo = table.max_pat_len - 1
+
+    C, B = 2048, 4096  # 8 MiB payload per batch
+    rng = np.random.RandomState(7)
+    data = rng.randint(0, 256, size=(C, halo + B)).astype(np.uint8)
+    start_t = np.full(C, halo, np.int32)
+    end_t = np.full(C, halo + B, np.int32)
+    data_dev = jax.device_put(data)
+
+    def run_once():
+        res = scan_batch(dev, data_dev, start_t, end_t, halo=halo, max_results=16)
+        jax.block_until_ready(res.counts)
+        return res
+
+    run_once()  # compile + warm
+    t0 = time.perf_counter()
+    run_once()
+    per_batch = time.perf_counter() - t0
+    # enough iterations for >=2s of steady-state measurement
+    iters = max(1, int(2.0 / max(per_batch, 1e-6)))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        run_once()
+    dt = time.perf_counter() - t0
+
+    payload = C * B * iters
+    value = payload / dt
+    print(
+        json.dumps(
+            {
+                "metric": "scan_bytes_per_s_per_chip_10k_patterns",
+                "value": value,
+                "unit": "bytes/s",
+                "vs_baseline": value / 1e9,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

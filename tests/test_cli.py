@@ -1,0 +1,166 @@
+"""CLI end-to-end tests (in-process main())."""
+
+import io
+import os
+
+import pytest
+
+from tpu_pattern_matching.cli import main
+from tests.fixtures import random_words_corpus
+
+
+@pytest.fixture()
+def corpus_dir(tmp_path):
+    patterns, corpus = random_words_corpus(seed=9, n_lines=150)
+    pat_file = tmp_path / "patterns.txt"
+    pat_file.write_bytes(b"\n".join(patterns) + b"\n")
+    data_file = tmp_path / "input.txt"
+    data_file.write_bytes(corpus)
+    return tmp_path, str(pat_file), str(data_file), patterns, corpus
+
+
+def run_cli(capsys, argv):
+    rc = main(argv)
+    out = capsys.readouterr().out
+    return rc, out
+
+
+def test_basic_grep(capsys, corpus_dir):
+    tmp, pat, data, patterns, corpus = corpus_dir
+    rc, out = run_cli(
+        capsys, ["-f", data, "-p", pat, "-B", "256", "-G", "64", "-v", "-w", "1"]
+    )
+    assert rc == 0
+    assert "STATS" in out
+    # verify each reported match against the corpus
+    n_matches = 0
+    for line in out.splitlines():
+        if line.startswith("Pattern "):
+            n_matches += 1
+            label = line.split("('")[1].split("')")[0]
+            off = int(line.split("at offset ")[1].split(" ")[0])
+            assert corpus[off : off + len(label)] == label.encode()
+    # ground truth: total occurrences of all patterns
+    expect = sum(corpus.count(p) for p in patterns)
+    assert n_matches == expect
+    assert f"Matches:             {expect}" in out
+
+
+def test_text_mode_and_lines(capsys, corpus_dir):
+    tmp, pat, data, patterns, corpus = corpus_dir
+    rc, out = run_cli(
+        capsys, ["-f", data, "-p", pat, "-B", "256", "-G", "64", "-t", "-w", "1"]
+    )
+    assert rc == 0
+    n_lines = corpus.count(b"\n")
+    assert f"Processed lines:     {n_lines}" in out
+
+
+def test_multi_file_and_threads(capsys, corpus_dir, tmp_path):
+    tmp, pat, data, patterns, corpus = corpus_dir
+    # split corpus into 3 files, pass comma-separated, 2 feeder threads
+    third = len(corpus) // 3
+    f1 = tmp_path / "a.bin"
+    f2 = tmp_path / "b.bin"
+    f3 = tmp_path / "c.bin"
+    f1.write_bytes(corpus[:third])
+    f2.write_bytes(corpus[third : 2 * third])
+    f3.write_bytes(corpus[2 * third :])
+    rc, out = run_cli(
+        capsys,
+        ["-f", f"{f1},{f2},{f3}", "-p", pat, "-B", "128", "-G", "32", "-w", "2"],
+    )
+    assert rc == 0
+    assert "Processed files:     3" in out
+    # totals across split files: only matches fully inside one file are
+    # guaranteed (split points may cut occurrences)
+    expect_min = sum(
+        part.count(p)
+        for part in (corpus[:third], corpus[third : 2 * third], corpus[2 * third :])
+        for p in patterns
+    )
+    got = int(out.split("Matches:")[1].splitlines()[0])
+    assert got == expect_min
+
+
+def test_directory_input(capsys, corpus_dir, tmp_path):
+    tmp, pat, data, patterns, corpus = corpus_dir
+    d = tmp_path / "dir"
+    d.mkdir()
+    (d / "x.txt").write_bytes(corpus)
+    rc, out = run_cli(capsys, ["-f", str(d), "-p", pat, "-B", "256", "-G", "64"])
+    assert rc == 0
+    expect = sum(corpus.count(p) for p in patterns)
+    assert f"Matches:             {expect}" in out
+
+
+def test_hex_patterns(capsys, tmp_path):
+    pat = tmp_path / "hex.txt"
+    pat.write_text("deadbeef\n00ff00\n")
+    data = tmp_path / "d.bin"
+    data.write_bytes(b"xx\xde\xad\xbe\xefyy\x00\xff\x00zz\xde\xad\xbe\xef")
+    rc, out = run_cli(
+        capsys, ["-f", str(data), "-p", str(pat), "-x", "-v", "-B", "64", "-G", "16"]
+    )
+    assert rc == 0
+    assert "Matches:             3" in out
+
+
+def test_pat_size_limit(capsys, tmp_path):
+    # -m truncates patterns: 'abcdef' limited to 3 becomes 'abc'
+    pat = tmp_path / "p.txt"
+    pat.write_text("abcdef\n")
+    data = tmp_path / "d.bin"
+    data.write_bytes(b"abcxxx")
+    rc, out = run_cli(
+        capsys,
+        ["-f", str(data), "-p", str(pat), "-m", "3", "-v", "-B", "64", "-G", "16"],
+    )
+    assert rc == 0
+    assert "Matches:             1" in out
+
+
+def test_save_load_dfa(capsys, corpus_dir, tmp_path):
+    tmp, pat, data, patterns, corpus = corpus_dir
+    dfa = str(tmp_path / "c.npz")
+    rc, out1 = run_cli(
+        capsys,
+        ["-f", data, "-p", pat, "-B", "256", "-G", "64", "--save-dfa", dfa],
+    )
+    assert rc == 0 and os.path.exists(dfa)
+    rc, out2 = run_cli(
+        capsys, ["-f", data, "--load-dfa", dfa, "-B", "256", "-G", "64"]
+    )
+    assert rc == 0
+    m1 = out1.split("Matches:")[1].splitlines()[0]
+    m2 = out2.split("Matches:")[1].splitlines()[0]
+    assert m1 == m2
+
+
+def test_json_stats(capsys, corpus_dir):
+    tmp, pat, data, patterns, corpus = corpus_dir
+    rc, out = run_cli(
+        capsys,
+        ["-f", data, "-p", pat, "-B", "256", "-G", "64", "--json-stats"],
+    )
+    assert rc == 0
+    import json
+
+    line = [l for l in out.splitlines() if l.startswith("{")][-1]
+    st = json.loads(line)
+    assert st["bytes"] == len(corpus)
+    assert st["files"] == 1
+
+
+def test_categorical_pattern_ids(capsys, tmp_path):
+    pat = tmp_path / "p.txt"
+    pat.write_text('-5 "bad"\n7 "good"\n')
+    data = tmp_path / "d.txt"
+    data.write_bytes(b"good bad good")
+    rc, out = run_cli(
+        capsys, ["-f", str(data), "-p", str(pat), "-v", "-B", "64", "-G", "16"]
+    )
+    assert rc == 0
+    assert "Pattern 7 ('good')" in out
+    assert "Pattern -5 ('bad')" in out
+    assert "Matches:             3" in out

@@ -1,0 +1,139 @@
+"""DFA compiler unit tests: dense-table walk must agree with two independent
+CPU oracles on exact (end_offset, pattern_index) events."""
+
+import numpy as np
+import pytest
+
+from tpu_pattern_matching.core.dfa import AhoCorasick, DfaTable, compile_patterns
+from tpu_pattern_matching.core.oracle import match_naive, match_python
+from tests.fixtures import planted_binary, random_binary
+
+
+def table_scan(table: DfaTable, data: bytes) -> list[tuple[int, int]]:
+    """Host-side scalar walk of the compiled dense table (test helper)."""
+    goto = table.goto_signed.astype(np.int64)
+    groups = table.groups_as_lists()
+    s = 0
+    events = []
+    for i, c in enumerate(data):
+        nxt = goto[s, c]
+        s = -nxt if nxt < 0 else nxt
+        if nxt < 0:
+            for pid in groups[table.state_gid[s]]:
+                events.append((i, int(pid)))
+    return events
+
+
+CASES = [
+    # classic he/she/his/hers: co-terminations and fail-chain matches
+    ([b"he", b"she", b"his", b"hers"], b"ushers and his"),
+    # overlapping occurrences
+    ([b"aa"], b"aaaa"),
+    ([b"aba", b"ba"], b"ababab"),
+    # pattern is a prefix/suffix of another
+    ([b"abc", b"abcdef", b"cde"], b"xabcdefy"),
+    # duplicate patterns (distinct indices, same bytes)
+    ([b"dup", b"dup"], b"a dup here"),
+    # single-byte patterns
+    ([b"\x00", b"a"], b"a\x00b\x00a"),
+    # match at position 0 and at the very end
+    ([b"start", b"end"], b"start middle end"),
+]
+
+
+@pytest.mark.parametrize("patterns,data", CASES)
+def test_table_matches_oracles(patterns, data):
+    table = compile_patterns(patterns)
+    got = sorted(table_scan(table, data))
+    assert got == sorted(match_naive(patterns, data))
+    assert got == sorted(match_python(patterns, data))
+
+
+def test_planted_binary_conformance():
+    patterns = [b"\xde\xad\xbe\xef", b"needle!", b"\x00\x01\x02\x03\x04"]
+    data, plants = planted_binary(7, 1 << 14, patterns, 40)
+    table = compile_patterns(patterns)
+    got = sorted(table_scan(table, data))
+    assert got == sorted(match_python(patterns, data))
+    # every plant must be found (end offset = pos + len - 1)
+    got_set = set(got)
+    for pos, pi in plants:
+        assert (pos + len(patterns[pi]) - 1, pi) in got_set
+
+
+def test_random_fuzz_small_alphabet():
+    # tiny alphabet maximizes fail-link stress
+    rng = np.random.RandomState(3)
+    for trial in range(10):
+        n_pat = rng.randint(1, 8)
+        patterns = [
+            bytes(rng.randint(0, 3, size=rng.randint(1, 6)).astype(np.uint8))
+            for _ in range(n_pat)
+        ]
+        data = bytes(rng.randint(0, 3, size=500).astype(np.uint8))
+        table = compile_patterns(patterns)
+        assert sorted(table_scan(table, data)) == sorted(
+            match_python(patterns, data)
+        ), f"trial {trial}: {patterns}"
+
+
+def test_ushort_alphabet():
+    patterns = [(40, 32, 287), (32, 287, 32, 106), (5,)]
+    data = [40, 32, 287, 32, 106, 5, 40, 32, 287]
+    table = compile_patterns(patterns, alphabet_size=2048)
+    goto = table.goto_signed.astype(np.int64)
+    s = 0
+    events = []
+    groups = table.groups_as_lists()
+    for i, c in enumerate(data):
+        nxt = goto[s, c]
+        s = -nxt if nxt < 0 else nxt
+        if nxt < 0:
+            events.extend((i, int(p)) for p in groups[table.state_gid[s]])
+    assert sorted(events) == sorted(match_naive(patterns, data))
+
+
+def test_table_properties():
+    table = compile_patterns([b"he", b"she", b"his", b"hers"])
+    assert table.max_pat_len == 4
+    assert table.num_patterns == 4
+    assert table.alphabet_size == 256
+    # root is never final; signed encoding unambiguous
+    assert table.state_gid[0] == -1
+    # goto targets in range
+    assert np.abs(table.goto_signed.astype(np.int64)).max() < table.num_states
+    # small automata compress to int16
+    assert table.goto_signed.dtype == np.int16
+
+
+def test_save_load_roundtrip(tmp_path):
+    patterns = [b"he", b"she", b"his", b"hers"]
+    table = compile_patterns(patterns)
+    path = str(tmp_path / "dfa.npz")
+    table.save(path)
+    loaded = DfaTable.load(path)
+    data = b"ushers and his"
+    assert table_scan(loaded, data) == table_scan(table, data)
+    assert [p.iid for p in loaded.patterns] == [p.iid for p in table.patterns]
+
+
+def test_group_semantics():
+    # "hers" ends where "hers" matches; at offset of 's' both hers and... check
+    # co-termination: "she" and "he" both end at the same position in "she".
+    table = compile_patterns([b"he", b"she"])
+    events = table_scan(table, b"she")
+    assert sorted(events) == [(2, 0), (2, 1)]
+
+
+def test_large_random_sigset():
+    # exercise int32 path deterministically via many patterns
+    rng = np.random.RandomState(11)
+    patterns = [
+        bytes(rng.randint(0, 256, size=rng.randint(4, 20)).astype(np.uint8))
+        for _ in range(300)
+    ]
+    data = random_binary(5, 1 << 13)
+    # plant a few
+    data = patterns[0] + data + patterns[7]
+    table = compile_patterns(patterns)
+    assert sorted(table_scan(table, data)) == sorted(match_python(patterns, data))

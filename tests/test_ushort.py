@@ -1,0 +1,101 @@
+"""Ushort (packet-metadata) mode tests — the AC_ushorts variant."""
+
+import numpy as np
+import pytest
+
+from tpu_pattern_matching.cli import main
+from tpu_pattern_matching.core.oracle import match_naive
+from tpu_pattern_matching.core.patterns import load_signature_file, parse_flow_line
+from tpu_pattern_matching.ushort import compile_signatures, lanes_from_sequences
+
+
+SIGS = """40,32,287,32,106,196; 6; File scanner (metasploit file scanning)
+40,32,287,32,106,186,32; 7; Directory scanner
+5,5,5; 3; triple five
+"""
+
+
+def test_signature_parsing(tmp_path):
+    f = tmp_path / "sigs.txt"
+    f.write_text(SIGS)
+    parsed = load_signature_file(str(f))
+    assert len(parsed) == 3
+    assert parsed[0].data == (40, 32, 287, 32, 106, 196)
+    assert parsed[0].label.startswith("File scanner")
+    # truncation to max_tokens
+    long = tmp_path / "long.txt"
+    long.write_text(",".join(str(i) for i in range(30)) + "; 30; long\n")
+    p = load_signature_file(str(long), max_tokens=16)
+    assert len(p[0].data) == 16
+
+
+def test_flow_line_parsing():
+    assert parse_flow_line("0,0,0,999, 89 ,10") == [0, 0, 0, 999, 89, 10]
+    assert parse_flow_line("1;2;3") == [1, 2, 3]
+    assert parse_flow_line("") == []
+
+
+def test_ushort_match_parity(tmp_path):
+    f = tmp_path / "sigs.txt"
+    f.write_text(SIGS)
+    table = compile_signatures(str(f))
+    assert table.alphabet_size == 2048
+
+    flow = [7, 40, 32, 287, 32, 106, 196, 9, 5, 5, 5, 5]
+    data, start_t, end_t, fids, base = lanes_from_sequences(
+        [(0, np.asarray(flow, np.uint16))], chunk_len=4, halo=table.max_pat_len - 1
+    )
+    from tpu_pattern_matching.ops.table import DeviceTable
+    from tpu_pattern_matching.ops.match_xla import scan_batch
+    from tpu_pattern_matching.ops.compact import compact_matches
+
+    dev = DeviceTable.put(table)
+    res = scan_batch(dev, data, start_t, end_t, halo=table.max_pat_len - 1)
+    comp = compact_matches(dev, res)
+    groups = table.groups_as_lists()
+    got = []
+    rep = int(comp.reported)
+    for k in range(rep):
+        ln = int(np.asarray(comp.lane)[k])
+        off = int(base[ln]) + int(np.asarray(comp.pos)[k])
+        for pid in groups[int(np.asarray(comp.gid)[k])]:
+            got.append((off, pid))
+    pats = [p.symbols for p in table.patterns]
+    assert sorted(got) == sorted(match_naive(pats, flow))
+    # sanity: the triple-five signature fires twice in [5,5,5,5]
+    assert sum(1 for _, p in got if p == 2) == 2
+
+
+def test_ushort_cli(capsys, tmp_path):
+    sigs = tmp_path / "sigs.txt"
+    sigs.write_text(SIGS)
+    d = tmp_path / "flows"
+    d.mkdir()
+    (d / "10.0.0.1_444_10.0.0.2_443_tcp").write_text("7,40,32,287,32,106,196,9")
+    (d / "10.0.0.3_80_10.0.0.4_443_tcp").write_text("5,5,5")
+    rc = main(
+        ["-f", str(d), "-p", str(sigs), "--ushort", "-v", "-B", "64", "-G", "16"]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "File scanner" in out
+    assert "triple five" in out
+    assert "Matches:             2" in out
+
+
+def test_ushort_out_of_range_clamped(tmp_path):
+    sigs = tmp_path / "sigs.txt"
+    sigs.write_text("100,200; 2; x\n")
+    table = compile_signatures(str(sigs))
+    flow = [65000, 100, 200, 40000]
+    data, start_t, end_t, fids, base = lanes_from_sequences(
+        [(0, np.asarray([min(v, 2047) for v in flow], np.uint16))],
+        chunk_len=8,
+        halo=table.max_pat_len - 1,
+    )
+    from tpu_pattern_matching.ops.table import DeviceTable
+    from tpu_pattern_matching.ops.match_xla import scan_batch
+
+    dev = DeviceTable.put(table)
+    res = scan_batch(dev, data, start_t, end_t, halo=table.max_pat_len - 1)
+    assert int(np.asarray(res.counts).sum()) == 1

@@ -1,0 +1,183 @@
+"""``tpu_aho_grep`` — the grep-style CLI.
+
+Mirrors the reference CLI surface (ocl_aho_grep.c:411-459, usage 150-204):
+
+  -f file(s)      input: a directory, a single file, or comma-separated files
+  -p file         pattern file (one per line; auto-detected "ID PATTERN"
+                  categorical format)
+  -B chunk_size   bytes per chunk lane
+  -G global_ws    chunk lanes per batch (buffer = G * B bytes)
+  -L local_ws     accepted for compatibility (kernel tiling is XLA's job)
+  -D devpos       device position (index into jax.devices())
+  -m max          truncate patterns to max bytes
+  -w cpu_threads  feeder threads (round-robin over files, default 2)
+  -R max          result slots per chunk (default 16)
+  -v              verbose per-match lines ("Pattern <id> (...) found ...")
+  -t              text mode (line-wise chunks)
+  -x              printable-hex patterns
+  -F              follow mode (keep scanning growing files/FIFOs)
+  -M              accepted for compatibility (mapped buffers are N/A on TPU)
+  -h              help
+
+Extensions beyond the reference:
+  --ushort        packet-metadata mode (AC_ushorts variant): patterns are
+                  metadata signatures ("seq; len; name"), inputs are
+                  comma-separated ushort lines
+  --sort          sort matches by offset before reporting
+  --save-dfa/--load-dfa   compiled-automaton serialization (npz)
+  --json-stats    machine-readable stats line in addition to the stats block
+"""
+
+from __future__ import annotations
+
+import argparse
+import signal
+import sys
+
+import numpy as np
+
+from tpu_pattern_matching.core.dfa import AhoCorasick, DfaTable, ALPHABET_USHORT
+from tpu_pattern_matching.core.patterns import (
+    load_pattern_file,
+    load_signature_file,
+)
+from tpu_pattern_matching.runtime.feeder import Feeder
+from tpu_pattern_matching.runtime.files import expand_paths
+from tpu_pattern_matching.runtime.session import MatchSession
+from tpu_pattern_matching.runtime.stats import RunStats
+from tpu_pattern_matching.utils.common import now_us
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="tpu_aho_grep",
+        description="TPU multi-pattern matcher (Aho-Corasick DFA scan)",
+    )
+    ap.add_argument("-f", dest="data_path", required=True, help="input file(s)/dir")
+    ap.add_argument("-p", dest="pat_path", help="pattern file")
+    ap.add_argument("-B", dest="chunk_size", type=int, default=4096)
+    ap.add_argument("-G", dest="global_ws", type=int, default=2048)
+    ap.add_argument("-L", dest="local_ws", type=int, default=0)  # compat no-op
+    ap.add_argument("-D", dest="dev_pos", type=int, default=0)
+    ap.add_argument("-m", dest="pat_size_limit", type=int, default=-1)
+    ap.add_argument("-w", dest="thread_no", type=int, default=2)
+    ap.add_argument("-R", dest="max_results", type=int, default=16)
+    ap.add_argument("-v", dest="verbose", action="store_true")
+    ap.add_argument("-t", dest="text_mode", action="store_true")
+    ap.add_argument("-x", dest="hex_pat", action="store_true")
+    ap.add_argument("-F", dest="follow", action="store_true")
+    ap.add_argument("-M", dest="mapped", action="store_true")  # compat no-op
+    ap.add_argument("--ushort", action="store_true", help="packet-metadata mode")
+    ap.add_argument("--sort", action="store_true")
+    ap.add_argument("--save-dfa", dest="save_dfa")
+    ap.add_argument("--load-dfa", dest="load_dfa")
+    ap.add_argument("--json-stats", action="store_true")
+    return ap
+
+
+def compile_table(args) -> DfaTable:
+    if args.load_dfa:
+        return DfaTable.load(args.load_dfa)
+    if not args.pat_path:
+        print("ERROR: No pattern file", file=sys.stderr)
+        sys.exit(2)
+    if args.ushort:
+        parsed = load_signature_file(args.pat_path)
+        ac = AhoCorasick(ALPHABET_USHORT)
+    else:
+        parsed = load_pattern_file(
+            args.pat_path, hex_pat=args.hex_pat, pat_size_limit=args.pat_size_limit
+        )
+        ac = AhoCorasick()
+    if not parsed:
+        print("ERROR: pattern file is empty", file=sys.stderr)
+        sys.exit(2)
+    for p in parsed:
+        ac.add_pattern(p.data, iid=p.iid, label=p.label)
+    table = ac.compile()
+    if args.save_dfa:
+        table.save(args.save_dfa)
+    return table
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_argparser().parse_args(argv)
+
+    if args.ushort:
+        from tpu_pattern_matching.ushort import run_ushort_grep
+
+        return run_ushort_grep(args)
+
+    import jax
+
+    devs = jax.devices()
+    if args.dev_pos >= len(devs):
+        print(f"ERROR: device position {args.dev_pos} not available", file=sys.stderr)
+        sys.exit(2)
+
+    table = compile_table(args)
+
+    filenames = expand_paths(args.data_path)
+    if not filenames:
+        print("ERROR: Could not open input file(s) for reading.", file=sys.stderr)
+        sys.exit(2)
+
+    sess = MatchSession(
+        table,
+        max_chunks=args.global_ws,
+        chunk_len=args.chunk_size,
+        max_results=args.max_results,
+        sort=args.sort,
+    )
+
+    feeder = Feeder(
+        filenames,
+        n_workers=args.thread_no,
+        max_chunks=args.global_ws,
+        chunk_len=args.chunk_size,
+        halo=sess.halo,
+        text_mode=args.text_mode,
+        follow=args.follow,
+    )
+
+    stats = RunStats(
+        files=len(filenames),
+        automaton_states=table.num_states,
+        automaton_bytes=table.nbytes,
+    )
+
+    # SIGINT: drain and flush a final batch (ocl_aho_grep.c:25-31, 61-65)
+    def _sigint(signum, frame):
+        feeder.stop()
+
+    signal.signal(signal.SIGINT, _sigint)
+
+    start = now_us()
+    feeder.start()
+    for item in feeder:
+        bm = sess.scan_and_decode(item.batch)
+        stats.rounds += 1
+        stats.bytes += item.bytes
+        stats.lines += item.lines
+        stats.matches_total += bm.total
+        stats.matches_reported += sum(len(e.pattern_indices) for e in bm.events)
+        if args.verbose:
+            for ev in bm.events:
+                fname = filenames[ev.file_id]
+                for pidx in ev.pattern_indices:
+                    pat = table.patterns[pidx]
+                    start_off = ev.end_offset - pat.n + 1
+                    print(
+                        f"Pattern {pat.iid} ('{pat.label}') found in file "
+                        f"'{fname}' at offset {start_off} [end: {ev.end_offset}]"
+                    )
+    stats.wall_us = now_us() - start
+
+    print(stats.render())
+    if args.json_stats:
+        print(stats.to_json())
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,123 @@
+"""Device mesh construction and shardings.
+
+The distributed layer the reference never had (SURVEY.md section 2.5): its
+only "multi-device" story is N pthreads each owning a private OpenCL context
+and a privately re-compiled DFA (ocl_aho_grep.c:494-502, ocl_worker.c:32-38).
+Here the same data-parallel layout becomes a first-class mesh program:
+
+- one ``Mesh`` over all chips, axis ``"data"`` (multi-host: hosts x chips
+  flattened — XLA routes collectives over ICI within a slice and DCN across
+  hosts);
+- the DFA table replicated: ``NamedSharding(mesh, P())`` — the analogue of
+  each worker's ``d_trans`` copy, but expressed once as a sharding;
+- batch lanes sharded on the ``data`` axis: ``P("data")`` on the lane dim;
+- per-group match counts reduced with ``psum`` (BASELINE config 5).
+
+Everything compiles under one ``jit``; XLA inserts the collectives.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tpu_pattern_matching.ops.match_xla import _scan_kernel
+from tpu_pattern_matching.ops.table import DeviceTable
+
+
+def init_distributed(
+    coordinator: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Multi-host bring-up (``jax.distributed.initialize`` wrapper).
+
+    No-op for single-process runs; on TPU pods the arguments are
+    auto-detected from the environment.
+    """
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(coordinator, num_processes, process_id)
+
+
+def make_mesh(devices=None, axis: str = "data") -> Mesh:
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    return Mesh(devices.reshape(-1), (axis,))
+
+
+@dataclasses.dataclass
+class MeshContext:
+    """Sharding bundle for the data-parallel scan."""
+
+    mesh: Mesh
+    axis: str = "data"
+
+    @property
+    def replicated(self) -> NamedSharding:
+        return NamedSharding(self.mesh, P())
+
+    @property
+    def lane_sharded(self) -> NamedSharding:
+        # batches are lane-major [C, T]: shard lanes
+        return NamedSharding(self.mesh, P(self.axis))
+
+    @property
+    def num_devices(self) -> int:
+        return self.mesh.size
+
+
+def make_sharded_scan_step(
+    ctx: MeshContext,
+    table: DeviceTable,
+    *,
+    halo: int,
+    max_results: int,
+    num_groups: int,
+):
+    """Build the jitted multi-chip scan step.
+
+    Input lanes sharded ``P("data")``, table replicated; returns per-lane
+    results (lane-sharded) plus globally-reduced per-group counts — the
+    ``psum`` count-reduction path of BASELINE config 5. Lanes must be a
+    multiple of the mesh size.
+    """
+    lane = ctx.lane_sharded
+    repl = ctx.replicated
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(repl, repl, lane, lane, lane),
+        out_shardings=(lane, lane, lane, repl),
+        static_argnames=(),
+    )
+    def step(table_flat, state_gid, data, start_t, end_t):
+        res = _scan_kernel(
+            table_flat,
+            data.T,
+            start_t,
+            end_t,
+            alphabet_size=table.alphabet_size,
+            halo=halo,
+            max_results=max_results,
+        )
+        # per-group counts: exact totals per final state group, reduced
+        # across the whole mesh by XLA (scatter-add over replicated output)
+        gid = jnp.where(
+            res.slot_state > 0,
+            jnp.take(state_gid, res.slot_state, mode="clip"),
+            -1,
+        )
+        r_iota = jax.lax.broadcasted_iota(jnp.int32, res.slot_state.shape, 1)
+        live = (r_iota < res.counts[:, None]) & (gid >= 0)
+        gcounts = (
+            jnp.zeros((num_groups,), jnp.int32)
+            .at[jnp.where(live, gid, num_groups)]
+            .add(live.astype(jnp.int32), mode="drop")
+        )
+        return res.counts, res.slot_state, res.slot_pos, gcounts
+
+    return step

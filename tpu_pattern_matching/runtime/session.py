@@ -1,0 +1,171 @@
+"""Match session: compiled table + device engine + result decoding.
+
+Counterpart of the reference's per-thread worker context (ocl_worker.c:20-185)
+— except the DFA is compiled once and replicated to the mesh by sharding
+annotation instead of being rebuilt per worker thread (SURVEY.md section 2.1).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import io
+from typing import Iterator, Sequence
+
+import numpy as np
+
+from tpu_pattern_matching.core.dfa import DfaTable
+from tpu_pattern_matching.ops.compact import (
+    CompactMatches,
+    compact_matches,
+    per_group_counts,
+    sort_matches,
+)
+from tpu_pattern_matching.ops.match_xla import ScanResult, scan_batch
+from tpu_pattern_matching.ops.table import DeviceTable
+from tpu_pattern_matching.runtime.buffers import DataBuffer, HostBatch, StreamState
+
+
+@dataclasses.dataclass
+class MatchEvent:
+    """One decoded match: absolute END offset of the occurrence in its file,
+    the full pattern-index set ending there, and the representative id."""
+
+    file_id: int
+    end_offset: int
+    pattern_indices: list[int]
+    rep_index: int
+
+    def expand(self) -> Iterator[tuple[int, int]]:
+        for p in self.pattern_indices:
+            yield (self.end_offset, p)
+
+
+@dataclasses.dataclass
+class BatchMatches:
+    """Host-decoded results of one batch."""
+
+    events: list[MatchEvent]
+    total: int  # exact device-side event count (incl. slot overflow)
+    reported: int
+    overflowed: bool
+    group_counts: np.ndarray | None = None  # [G] int32 when requested
+
+
+class MatchSession:
+    def __init__(
+        self,
+        table: DfaTable,
+        max_chunks: int = 1024,
+        chunk_len: int = 1024,
+        max_results: int = 16,
+        halo: int | None = None,
+        sharding=None,
+        sort: bool = False,
+    ):
+        self.table = table
+        self.dev = DeviceTable.put(table, sharding)
+        self.halo = (table.max_pat_len - 1) if halo is None else halo
+        self.max_chunks = max_chunks
+        self.chunk_len = chunk_len
+        self.max_results = max_results
+        self.sort = sort
+        self._groups = table.groups_as_lists()
+        self.data_sharding = None  # set by parallel.mesh helpers
+
+    # ------------------------------------------------------------- plumbing
+
+    def new_buffer(self) -> DataBuffer:
+        return DataBuffer(self.max_chunks, self.chunk_len, self.halo)
+
+    def scan(self, batch: HostBatch) -> tuple[ScanResult, CompactMatches]:
+        """Device scan + compaction of one batch (undecoded)."""
+        data = batch.data
+        if self.data_sharding is not None:
+            import jax
+
+            data = jax.device_put(data, self.data_sharding)
+        res = scan_batch(
+            self.dev,
+            data,
+            batch.start_t,
+            batch.end_t,
+            halo=batch.halo,
+            max_results=self.max_results,
+        )
+        comp = compact_matches(self.dev, res)
+        if self.sort:
+            comp = sort_matches(comp, self.chunk_len)
+        return res, comp
+
+    def decode(self, batch: HostBatch, comp: CompactMatches) -> BatchMatches:
+        """Pull compacted matches to host and expand match groups."""
+        reported = int(comp.reported)
+        total = int(comp.total)
+        lane = np.asarray(comp.lane[:reported]) if reported else np.zeros(0, np.int32)
+        pos = np.asarray(comp.pos[:reported]) if reported else np.zeros(0, np.int32)
+        gid = np.asarray(comp.gid[:reported]) if reported else np.zeros(0, np.int32)
+        events = []
+        for k in range(reported):
+            ln = int(lane[k])
+            g = int(gid[k])
+            pids = self._groups[g]
+            events.append(
+                MatchEvent(
+                    file_id=int(batch.file_ids[ln]),
+                    end_offset=int(batch.base_off[ln]) + int(pos[k]),
+                    pattern_indices=pids,
+                    rep_index=pids[0],
+                )
+            )
+        return BatchMatches(
+            events=events,
+            total=total,
+            reported=reported,
+            overflowed=total > reported,
+        )
+
+    def scan_and_decode(self, batch: HostBatch) -> BatchMatches:
+        _, comp = self.scan(batch)
+        return self.decode(batch, comp)
+
+    def group_counts(self, comp: CompactMatches) -> np.ndarray:
+        return np.asarray(per_group_counts(self.dev, comp))
+
+    # ----------------------------------------------------------- high level
+
+    def scan_stream(
+        self, fobj, file_id: int = 0, text_mode: bool = False
+    ) -> Iterator[BatchMatches]:
+        """Scan one stream batch-by-batch (continuity handled via halos)."""
+        buf = self.new_buffer()
+        stream = StreamState(file_id=file_id)
+        while True:
+            if text_mode:
+                code, rd, _ = buf.add_lines(fobj, stream)
+            else:
+                code, rd = buf.add_stream(fobj, stream)
+            eof = rd == 0
+            if buf.chunks and (code == -1 or eof):
+                yield self.scan_and_decode(buf.to_batch())
+                buf.reset()
+            if eof:
+                break
+
+    def find(
+        self, data: bytes, text_mode: bool = False
+    ) -> list[tuple[int, int]]:
+        """All (end_offset, pattern_index) events in ``data`` — the simplest
+        library entry point; exact parity target vs the CPU oracle."""
+        out: list[tuple[int, int]] = []
+        for bm in self.scan_stream(io.BytesIO(data), text_mode=text_mode):
+            for ev in bm.events:
+                out.extend(ev.expand())
+        return sorted(out)
+
+
+def session_for_patterns(
+    patterns: Sequence[bytes], **kw
+) -> MatchSession:
+    from tpu_pattern_matching.core.dfa import compile_patterns
+
+    return MatchSession(compile_patterns(patterns), **kw)

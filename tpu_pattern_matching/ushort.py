@@ -1,0 +1,142 @@
+"""Packet-metadata (ushort-alphabet) matching mode.
+
+The AC_ushorts variant (SURVEY.md section 2.2): instead of byte strings, the
+automaton matches *sequences of packet metadata* (e.g. payload lengths) for
+encrypted-traffic inspection. Signatures: ``"40,32,287,...; 22; attack name"``
+(AC_ushorts/README:14-24); inputs are per-flow files named by 5-tuple whose
+content is a comma-separated int sequence (AC_ushorts/README:27-31).
+
+The same generic DFA builder and scan engine are reused with
+``alphabet_size=2048`` (AC_ushorts/iacsmx.h:43) and uint16 lanes; values >=
+alphabet are clamped to ``alphabet-1`` (the reference indexes its table out
+of bounds for such values — UB we do not reproduce).
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from tpu_pattern_matching.core.dfa import (
+    ALPHABET_USHORT,
+    AhoCorasick,
+    DfaTable,
+)
+from tpu_pattern_matching.core.patterns import load_signature_file, parse_flow_line
+from tpu_pattern_matching.ops.compact import compact_matches
+from tpu_pattern_matching.ops.match_xla import scan_batch
+from tpu_pattern_matching.ops.table import DeviceTable
+from tpu_pattern_matching.runtime.files import expand_paths
+from tpu_pattern_matching.runtime.stats import RunStats
+from tpu_pattern_matching.utils.common import cdiv, now_us
+
+
+def compile_signatures(path: str, max_tokens: int = 16) -> DfaTable:
+    parsed = load_signature_file(path, max_tokens=max_tokens)
+    if not parsed:
+        raise ValueError(f"no signatures in {path}")
+    ac = AhoCorasick(ALPHABET_USHORT)
+    for p in parsed:
+        seq = tuple(min(v, ALPHABET_USHORT - 1) for v in p.data)
+        ac.add_pattern(seq, iid=p.iid, label=p.label)
+    return ac.compile()
+
+
+def lanes_from_sequences(
+    seqs: list[tuple[int, np.ndarray]],
+    chunk_len: int,
+    halo: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Tile per-flow token sequences into uint16 lanes with prefix halos.
+
+    Returns (data [C, halo+B] uint16, start_t, end_t, file_ids, base_off).
+    """
+    B, H = chunk_len, halo
+    C = sum(max(1, cdiv(len(s), B)) for _, s in seqs)
+    data = np.zeros((C, H + B), np.uint16)
+    start_t = np.full(C, H, np.int32)
+    end_t = np.full(C, H, np.int32)
+    file_ids = np.full(C, -1, np.int32)
+    base_off = np.zeros(C, np.int64)
+    lane = 0
+    for fid, s in seqs:
+        off = 0
+        while off < len(s) or (off == 0 and len(s) == 0):
+            part = s[off : off + B]
+            hist = s[max(0, off - H) : off]
+            data[lane, H - len(hist) : H] = hist
+            data[lane, H : H + len(part)] = part
+            start_t[lane] = H - len(hist)
+            end_t[lane] = H + len(part)
+            file_ids[lane] = fid
+            base_off[lane] = off
+            lane += 1
+            off += B
+            if len(s) == 0:
+                break
+    return data, start_t, end_t, file_ids, base_off
+
+
+def run_ushort_grep(args) -> int:
+    """Drive the metadata-sequence grep (the AC_ushorts ocl_aho_grep path)."""
+    table = compile_signatures(args.pat_path, max_tokens=16)
+    dev = DeviceTable.put(table)
+    groups = table.groups_as_lists()
+
+    filenames = expand_paths(args.data_path)
+    if not filenames:
+        print("ERROR: Could not open input file(s) for reading.", file=sys.stderr)
+        return 2
+
+    stats = RunStats(
+        files=len(filenames),
+        automaton_states=table.num_states,
+        automaton_bytes=table.nbytes,
+    )
+    rd_bytes = 0  # raw text bytes (the reference tracks both, SURVEY 2.2)
+    start = now_us()
+
+    halo = table.max_pat_len - 1
+    B = max(16, args.chunk_size // 2)  # tokens per lane
+    seqs = []
+    for fid, fname in enumerate(filenames):
+        with open(fname, "r", errors="replace") as f:
+            txt = f.read()
+        rd_bytes += len(txt)
+        vals = parse_flow_line(txt)
+        vals = np.asarray(
+            [min(v, ALPHABET_USHORT - 1) for v in vals], np.uint16
+        )
+        seqs.append((fid, vals))
+        stats.bytes += 2 * len(vals)
+
+    data, start_t, end_t, file_ids, base_off = lanes_from_sequences(seqs, B, halo)
+    res = scan_batch(
+        dev, data, start_t, end_t, halo=halo, max_results=args.max_results
+    )
+    comp = compact_matches(dev, res)
+    stats.rounds = 1
+    stats.matches_total = int(comp.total)
+    reported = int(comp.reported)
+    stats.matches_reported = reported
+    if args.verbose:
+        lane = np.asarray(comp.lane[:reported])
+        pos = np.asarray(comp.pos[:reported])
+        gid = np.asarray(comp.gid[:reported])
+        for k in range(reported):
+            ln = int(lane[k])
+            fname = filenames[int(file_ids[ln])]
+            off = int(base_off[ln]) + int(pos[k])
+            for pidx in groups[int(gid[k])]:
+                pat = table.patterns[pidx]
+                print(
+                    f"Pattern {pat.iid} ('{pat.label}') found in file "
+                    f"'{fname}' at sequence offset {off - pat.n + 1} "
+                    f"[end: {off}]"
+                )
+    stats.wall_us = now_us() - start
+    print(stats.render())
+    if getattr(args, "json_stats", False):
+        print(stats.to_json())
+    return 0

@@ -1,0 +1,243 @@
+"""The five BASELINE.json benchmark configs.
+
+Each config prints one JSON line; ``--config N`` selects, default runs all.
+
+1. generated word corpus vs CPU oracle, single chip, exact offsets
+2. 2,000 hex signatures over 32 MiB random binary (replicated DFA)
+3. 10,000 hex signatures over 64 MiB with compaction+sort pipeline
+4. 15,000 hex signatures (truncated to 12 bytes, the reference's ``-m 12``)
+   streaming multi-file grep through the feeder/CLI path
+5. sentiment word patterns over generated text, lanes sharded across all
+   devices with global per-group count reduction (psum workload)
+
+The reference's corpus protocol (SURVEY.md section 6): 8 x 32MB urandom
+binaries (test.sh) and ClamAV hex sets at 2k/10k/15k. Corpora here are
+generated deterministically at the same scale points.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _hex_sigs(n: int, seed: int, length: int) -> list[bytes]:
+    rng = np.random.RandomState(seed)
+    return [bytes(rng.randint(0, 256, size=length).astype(np.uint8)) for _ in range(n)]
+
+
+def _random_file(path: str, mib: int, seed: int) -> str:
+    if not os.path.exists(path) or os.path.getsize(path) != mib << 20:
+        rng = np.random.RandomState(seed)
+        with open(path, "wb") as f:
+            for _ in range(mib):
+                f.write(rng.bytes(1 << 20))
+    return path
+
+
+def emit(name: str, **kw) -> None:
+    print(json.dumps({"config": name, **kw}), flush=True)
+
+
+def config1() -> None:
+    """Word corpus vs CPU oracle — exact (offset, pattern) parity."""
+    from tests.fixtures import random_words_corpus
+    from tpu_pattern_matching.core.dfa import compile_patterns
+    from tpu_pattern_matching.core.oracle import match_python
+    from tpu_pattern_matching.runtime.session import MatchSession
+
+    patterns, corpus = random_words_corpus(seed=31, n_lines=2000)
+    sess = MatchSession(compile_patterns(patterns), max_chunks=256, chunk_len=128)
+    t0 = time.perf_counter()
+    got = sess.find(corpus, text_mode=True)
+    dt = time.perf_counter() - t0
+    ok = got == sorted(match_python(patterns, corpus))
+    emit("1_oracle_parity_words", parity=ok, events=len(got), wall_s=round(dt, 3))
+    assert ok
+
+
+def _scan_file_throughput(
+    sigs: list[bytes], path: str, *, sort: bool, check_oracle: bool
+) -> dict:
+    from tpu_pattern_matching.core.dfa import compile_patterns
+    from tpu_pattern_matching.runtime.session import MatchSession
+
+    table = compile_patterns(sigs)
+    sess = MatchSession(table, max_chunks=2048, chunk_len=4096, sort=sort)
+    size = os.path.getsize(path)
+    # warm compile on one batch shape
+    with open(path, "rb") as f:
+        events = []
+        t0 = time.perf_counter()
+        for bm in sess.scan_stream(f, file_id=0):
+            events.extend((e.end_offset, p) for e in bm.events for p in e.pattern_indices)
+        dt = time.perf_counter() - t0
+    out = {
+        "bytes": size,
+        "wall_s": round(dt, 3),
+        "bytes_per_s": size / dt,
+        "events": len(events),
+        "states": table.num_states,
+    }
+    if check_oracle:
+        try:
+            from tpu_pattern_matching.core.oracle_native import NativeOracle
+
+            o = NativeOracle(sigs)
+            with open(path, "rb") as f:
+                data = f.read()
+            oracle_events = o.match_events(data)
+            out["parity"] = sorted(events) == oracle_events
+        except Exception as e:  # oracle unavailable: skip parity
+            out["parity"] = f"skipped: {e}"
+    return out
+
+
+def config2(data_dir: str) -> None:
+    sigs = _hex_sigs(2000, seed=2, length=16)
+    path = _random_file(os.path.join(data_dir, "32MB.7.bin"), 32, seed=7)
+    out = _scan_file_throughput(sigs, path, sort=False, check_oracle=True)
+    emit("2_clamav2000_32MB", **out)
+
+
+def config3(data_dir: str) -> None:
+    sigs = _hex_sigs(10_000, seed=3, length=16)
+    p7 = _random_file(os.path.join(data_dir, "32MB.7.bin"), 32, seed=7)
+    p8 = _random_file(os.path.join(data_dir, "32MB.8.bin"), 32, seed=8)
+    out7 = _scan_file_throughput(sigs, p7, sort=True, check_oracle=False)
+    out8 = _scan_file_throughput(sigs, p8, sort=True, check_oracle=False)
+    tot = out7["bytes"] + out8["bytes"]
+    dt = out7["wall_s"] + out8["wall_s"]
+    emit(
+        "3_clamav10000_compact_sort",
+        bytes=tot,
+        wall_s=round(dt, 3),
+        bytes_per_s=tot / dt,
+        events=out7["events"] + out8["events"],
+        states=out7["states"],
+    )
+
+
+def config4(data_dir: str) -> None:
+    """15k sigs truncated to 12B, multi-file streaming via the feeder."""
+    from tpu_pattern_matching.core.dfa import compile_patterns
+    from tpu_pattern_matching.runtime.feeder import Feeder
+    from tpu_pattern_matching.runtime.session import MatchSession
+
+    sigs = _hex_sigs(15_000, seed=4, length=12)
+    files = [
+        _random_file(os.path.join(data_dir, f"32MB.{i}.bin"), 32, seed=i)
+        for i in (1, 2, 3, 4)
+    ]
+    table = compile_patterns(sigs)
+    sess = MatchSession(table, max_chunks=2048, chunk_len=4096)
+    feeder = Feeder(
+        files,
+        n_workers=2,
+        max_chunks=2048,
+        chunk_len=4096,
+        halo=sess.halo,
+    )
+    t0 = time.perf_counter()
+    feeder.start()
+    total_bytes = 0
+    total_matches = 0
+    rounds = 0
+    for item in feeder:
+        bm = sess.scan_and_decode(item.batch)
+        total_bytes += item.bytes
+        total_matches += bm.total
+        rounds += 1
+    dt = time.perf_counter() - t0
+    emit(
+        "4_clamav15000_streaming",
+        bytes=total_bytes,
+        wall_s=round(dt, 3),
+        bytes_per_s=total_bytes / dt,
+        matches=total_matches,
+        rounds=rounds,
+        states=table.num_states,
+    )
+
+
+def config5() -> None:
+    """Sentiment psum workload: lanes sharded across all devices."""
+    import io
+
+    import jax
+
+    from tests.fixtures import random_words_corpus
+    from tpu_pattern_matching.core.dfa import compile_patterns
+    from tpu_pattern_matching.ops.table import DeviceTable
+    from tpu_pattern_matching.parallel.mesh import (
+        MeshContext,
+        make_mesh,
+        make_sharded_scan_step,
+    )
+    from tpu_pattern_matching.runtime.buffers import DataBuffer, StreamState
+
+    words, corpus = random_words_corpus(seed=55, n_lines=5000, n_patterns=64)
+    patterns = [b" " + w + b" " for w in words]
+    table = compile_patterns(patterns)
+    ctx = MeshContext(make_mesh())
+    dev = DeviceTable.put(table, ctx.replicated)
+    halo = table.max_pat_len - 1
+    n_dev = ctx.num_devices
+    C = 512 * n_dev
+    buf = DataBuffer(C, 256, halo)
+    buf.add_stream(io.BytesIO(corpus), StreamState(file_id=0))
+    batch = buf.to_batch()
+    step = make_sharded_scan_step(
+        ctx, dev, halo=halo, max_results=16, num_groups=table.num_groups
+    )
+    args = (
+        dev.table_flat,
+        dev.state_gid,
+        jax.device_put(batch.data, ctx.lane_sharded),
+        batch.start_t,
+        batch.end_t,
+    )
+    out = step(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    out = step(*args)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    gcounts = np.asarray(out[3])
+    emit(
+        "5_sentiment_psum_sharded",
+        devices=n_dev,
+        bytes=len(corpus),
+        wall_s=round(dt, 4),
+        bytes_per_s=len(corpus) / dt,
+        group_events=int(gcounts.sum()),
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", type=int, default=0, help="1-5, 0=all")
+    ap.add_argument("--data-dir", default="/tmp/tpm_bench_data")
+    args = ap.parse_args()
+    os.makedirs(args.data_dir, exist_ok=True)
+    todo = [args.config] if args.config else [1, 2, 3, 4, 5]
+    runners = {
+        1: config1,
+        2: lambda: config2(args.data_dir),
+        3: lambda: config3(args.data_dir),
+        4: lambda: config4(args.data_dir),
+        5: config5,
+    }
+    for c in todo:
+        runners[c]()
+
+
+if __name__ == "__main__":
+    main()

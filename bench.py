@@ -37,11 +37,13 @@ def main() -> None:
     from tpu_pattern_matching.ops.match_xla import scan_batch
     from tpu_pattern_matching.ops.table import DeviceTable
 
+    from tpu_pattern_matching.utils.common import pad_halo
+
     table = build_workload()
     dev = DeviceTable.put(table)
-    halo = table.max_pat_len - 1
 
     C, B = 2048, 4096  # 8 MiB payload per batch
+    halo = pad_halo(table.max_pat_len - 1, B)  # align for the 8-wide unroll
     rng = np.random.RandomState(7)
     data = rng.randint(0, 256, size=(C, halo + B)).astype(np.uint8)
     start_t = np.full(C, halo, np.int32)

@@ -1,0 +1,92 @@
+"""Feeder tests: round-robin file ownership, batch flow, follow mode."""
+
+import os
+import threading
+import time
+
+import pytest
+
+from tpu_pattern_matching.runtime.feeder import Feeder
+
+
+def write(path, data: bytes):
+    with open(path, "wb") as f:
+        f.write(data)
+
+
+def collect(feeder, limit=None, timeout=10.0):
+    out = []
+    t0 = time.time()
+    for item in feeder:
+        out.append(item)
+        if limit and len(out) >= limit:
+            feeder.stop()
+        if time.time() - t0 > timeout:
+            feeder.stop()
+    return out
+
+
+def test_single_file_batches(tmp_path):
+    p = tmp_path / "a.bin"
+    write(p, b"x" * 1000)
+    f = Feeder([str(p)], n_workers=1, max_chunks=4, chunk_len=64, halo=0)
+    f.start()
+    items = collect(f)
+    total = sum(i.bytes for i in items)
+    assert total == 1000
+    # 1000 bytes / 64B chunks = 16 chunks -> 4 batches of 4 lanes
+    assert sum(i.batch.chunks for i in items) == 16
+
+
+def test_round_robin_multiworker(tmp_path):
+    files = []
+    for i in range(5):
+        p = tmp_path / f"f{i}.bin"
+        write(p, bytes([i]) * (100 + i))
+        files.append(str(p))
+    f = Feeder(files, n_workers=3, max_chunks=8, chunk_len=64, halo=0)
+    f.start()
+    items = collect(f)
+    assert sum(i.bytes for i in items) == sum(100 + i for i in range(5))
+    # every file id appears
+    fids = set()
+    for it in items:
+        fids.update(int(x) for x in it.batch.file_ids[: it.batch.chunks])
+    assert fids == set(range(5))
+
+
+def test_text_mode_lines(tmp_path):
+    p = tmp_path / "t.txt"
+    write(p, b"one\ntwo\nthree\n")
+    f = Feeder([str(p)], n_workers=1, max_chunks=8, chunk_len=32, halo=0,
+               text_mode=True)
+    f.start()
+    items = collect(f)
+    assert sum(i.lines for i in items) == 3
+    assert sum(i.bytes for i in items) == 14
+
+
+def test_follow_mode_growing_file(tmp_path):
+    p = tmp_path / "grow.bin"
+    write(p, b"a" * 64)
+    f = Feeder([str(p)], n_workers=1, max_chunks=2, chunk_len=64, halo=0,
+               follow=True)
+    f.start()
+
+    got = []
+    done = threading.Event()
+
+    def consume():
+        for item in f:
+            got.append(item.bytes)
+            if sum(got) >= 192:
+                f.stop()
+        done.set()
+
+    t = threading.Thread(target=consume, daemon=True)
+    t.start()
+    time.sleep(0.2)
+    with open(p, "ab") as fh:  # file grows while following
+        fh.write(b"b" * 128)
+    assert done.wait(15), "follow mode never saw appended data"
+    assert sum(got) >= 192

@@ -72,7 +72,35 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--save-dfa", dest="save_dfa")
     ap.add_argument("--load-dfa", dest="load_dfa")
     ap.add_argument("--json-stats", action="store_true")
+    ap.add_argument("--profile", help="write a jax.profiler trace to this dir")
     return ap
+
+
+def align_parameters(args) -> None:
+    """Round -B to 16 bytes with a warning (reference align_parameters,
+    ocl_aho_grep.c:315-346)."""
+    from tpu_pattern_matching.utils.common import roundup
+
+    if args.chunk_size % 16:
+        fixed = roundup(args.chunk_size, 16)
+        print(
+            f"WARNING: max chunk size '{args.chunk_size}' is not 16B aligned. "
+            f"Will use '{fixed}' instead.",
+            file=sys.stderr,
+        )
+        args.chunk_size = fixed
+
+
+def raise_nofile_limit() -> None:
+    """Expand RLIMIT_NOFILE to the hard max (ocl_aho_grep.c:462-472)."""
+    try:
+        import resource
+
+        soft, hard = resource.getrlimit(resource.RLIMIT_NOFILE)
+        if soft < hard:
+            resource.setrlimit(resource.RLIMIT_NOFILE, (hard, hard))
+    except Exception:
+        pass
 
 
 def compile_table(args) -> DfaTable:
@@ -102,6 +130,8 @@ def compile_table(args) -> DfaTable:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_argparser().parse_args(argv)
+    raise_nofile_limit()
+    align_parameters(args)
 
     if args.ushort:
         from tpu_pattern_matching.ushort import run_ushort_grep
@@ -152,10 +182,12 @@ def main(argv: list[str] | None = None) -> int:
 
     signal.signal(signal.SIGINT, _sigint)
 
-    start = now_us()
-    feeder.start()
-    for item in feeder:
-        bm = sess.scan_and_decode(item.batch)
+    from collections import deque
+
+    from tpu_pattern_matching.runtime.tracing import device_trace
+
+    def consume(item, comp):
+        bm = sess.decode(item.batch, comp)
         stats.rounds += 1
         stats.bytes += item.bytes
         stats.lines += item.lines
@@ -171,6 +203,20 @@ def main(argv: list[str] | None = None) -> int:
                         f"Pattern {pat.iid} ('{pat.label}') found in file "
                         f"'{fname}' at offset {start_off} [end: {ev.end_offset}]"
                     )
+
+    start = now_us()
+    with device_trace(args.profile):
+        feeder.start()
+        # depth-2 pipeline: the device scans batch k+1 while the host
+        # decodes batch k (the role of the reference's -w worker overlap)
+        pending: deque = deque()
+        for item in feeder:
+            _, comp = sess.scan(item.batch)
+            pending.append((item, comp))
+            if len(pending) >= 2:
+                consume(*pending.popleft())
+        while pending:
+            consume(*pending.popleft())
     stats.wall_us = now_us() - start
 
     print(stats.render())

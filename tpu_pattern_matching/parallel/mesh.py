@@ -97,7 +97,7 @@ def make_sharded_scan_step(
     def step(table_flat, state_gid, data, start_t, end_t):
         res = _scan_kernel(
             table_flat,
-            data.T,
+            jax.lax.optimization_barrier(data.T),
             start_t,
             end_t,
             alphabet_size=table.alphabet_size,

@@ -107,7 +107,12 @@ class Feeder:
                 if not self.follow:
                     break
                 if not progressed:
-                    # nothing grew; avoid a busy loop
+                    # quiescent: deliver whatever is buffered so trickle-fed
+                    # FIFOs/logs see timely results (the reference only
+                    # processes on a FULL buffer in follow mode — a starvation
+                    # bug for slow streams we deliberately fix), then idle
+                    # briefly to avoid a busy loop.
+                    flush()
                     self.terminate.wait(0.05)
             flush()
         finally:

@@ -62,9 +62,13 @@ class MatchSession:
         sharding=None,
         sort: bool = False,
     ):
+        from tpu_pattern_matching.utils.common import pad_halo
+
         self.table = table
         self.dev = DeviceTable.put(table, sharding)
-        self.halo = (table.max_pat_len - 1) if halo is None else halo
+        base_halo = (table.max_pat_len - 1) if halo is None else halo
+        # pad so the scan engine's 8-wide unroll divides the tile length
+        self.halo = pad_halo(base_halo, chunk_len)
         self.max_chunks = max_chunks
         self.chunk_len = chunk_len
         self.max_results = max_results

@@ -97,8 +97,10 @@ def run_ushort_grep(args) -> int:
     rd_bytes = 0  # raw text bytes (the reference tracks both, SURVEY 2.2)
     start = now_us()
 
-    halo = table.max_pat_len - 1
+    from tpu_pattern_matching.utils.common import pad_halo
+
     B = max(16, args.chunk_size // 2)  # tokens per lane
+    halo = pad_halo(table.max_pat_len - 1, B)
     seqs = []
     for fid, fname in enumerate(filenames):
         with open(fname, "r", errors="replace") as f:

@@ -31,6 +31,12 @@ def hex_to_bytes(s: str) -> bytes:
     return bytes.fromhex(s)
 
 
+def pad_halo(halo: int, chunk_len: int, block: int = 8) -> int:
+    """Pad a halo so (halo + chunk_len) divides the scan engine's unroll
+    block — extra halo bytes are harmless (masked by start_t)."""
+    return halo + (-(halo + chunk_len)) % block
+
+
 def now_us() -> int:
     """Wall clock in microseconds (reference utils.c:60-68 gettime)."""
     return time.monotonic_ns() // 1000

@@ -55,12 +55,18 @@ def main() -> None:
         jax.block_until_ready(res.counts)
         return res
 
-    run_once()  # compile + warm
-    t0 = time.perf_counter()
+    # compile, then warm until steady state: the first executions after
+    # compile run well below steady throughput (device/tunnel ramp)
     run_once()
-    per_batch = time.perf_counter() - t0
-    # enough iterations for >=2s of steady-state measurement
-    iters = max(1, int(2.0 / max(per_batch, 1e-6)))
+    prev = None
+    for _ in range(12):
+        t0 = time.perf_counter()
+        run_once()
+        per_batch = time.perf_counter() - t0
+        if prev is not None and abs(prev - per_batch) / prev < 0.08:
+            break
+        prev = per_batch
+    iters = max(3, int(2.0 / max(per_batch, 1e-6)))
     t0 = time.perf_counter()
     for _ in range(iters):
         run_once()

@@ -82,6 +82,8 @@ def _scan_kernel(
     def body(carry, xs):
         state, count, sl_state, sl_pos = carry
         blk, t0 = xs
+        nxts = []
+        reports = []
         for k in range(block):
             t = t0 + k
             idx = state * alphabet_size + blk[k].astype(jnp.int32)
@@ -89,12 +91,34 @@ def _scan_kernel(
             nxt = jnp.abs(raw)
             valid = (t >= start_t) & (t < end_t)
             state = jnp.where(valid, nxt, state)
-            report = (raw < 0) & valid & (t >= halo)
-            do_slot = report & (count < R)
-            onehot = (r_iota == count[None, :]) & do_slot[None, :]
-            sl_state = jnp.where(onehot, nxt[None, :], sl_state)
-            sl_pos = jnp.where(onehot, t - halo, sl_pos)
-            count = count + report.astype(jnp.int32)
+            reports.append((raw < 0) & valid & (t >= halo))
+            nxts.append(nxt)
+        rep_blk = jnp.stack(reports)  # [block, C]
+        nxt_blk = jnp.stack(nxts)  # [block, C]
+
+        # Matches are rare: skip ALL slot bookkeeping (the [R, C] one-hot
+        # updates) for blocks in which no lane matched — measured to close
+        # most of the gap to a counts-only scan.
+        def with_matches(args):
+            count, sls, slp = args
+            for k in range(block):
+                do = rep_blk[k] & (count < R)
+                onehot = (r_iota == count[None, :]) & do[None, :]
+                sls = jnp.where(onehot, nxt_blk[k][None, :], sls)
+                slp = jnp.where(onehot, t0 + k - halo, slp)
+                count = count + rep_blk[k].astype(jnp.int32)
+            return count, sls, slp
+
+        def without_matches(args):
+            count, sls, slp = args
+            return count + jnp.sum(rep_blk.astype(jnp.int32), axis=0), sls, slp
+
+        count, sl_state, sl_pos = jax.lax.cond(
+            jnp.any(rep_blk),
+            with_matches,
+            without_matches,
+            (count, sl_state, sl_pos),
+        )
         return (state, count, sl_state, sl_pos), None
 
     init = (

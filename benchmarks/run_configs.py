@@ -72,13 +72,21 @@ def _scan_file_throughput(
     table = compile_patterns(sigs)
     sess = MatchSession(table, max_chunks=2048, chunk_len=4096, sort=sort)
     size = os.path.getsize(path)
-    # warm compile on one batch shape
-    with open(path, "rb") as f:
-        events = []
-        t0 = time.perf_counter()
-        for bm in sess.scan_stream(f, file_id=0):
-            events.extend((e.end_offset, p) for e in bm.events for p in e.pattern_indices)
-        dt = time.perf_counter() - t0
+
+    def one_pass():
+        ev = []
+        with open(path, "rb") as f:
+            t0 = time.perf_counter()
+            for bm in sess.scan_stream(f, file_id=0):
+                ev.extend(
+                    (e.end_offset, p)
+                    for e in bm.events
+                    for p in e.pattern_indices
+                )
+            return ev, time.perf_counter() - t0
+
+    one_pass()  # compile + device warm-up pass
+    events, dt = one_pass()
     out = {
         "bytes": size,
         "wall_s": round(dt, 3),
@@ -100,11 +108,30 @@ def _scan_file_throughput(
     return out
 
 
+def _plant(path: str, sigs: list[bytes], n: int, chunk: int = 4096) -> None:
+    """Plant signature occurrences (some straddling chunk boundaries) so the
+    oracle-parity check is substantive."""
+    rng = np.random.RandomState(123)
+    with open(path, "r+b") as f:
+        size = os.path.getsize(path)
+        for k in range(n):
+            sig = sigs[rng.randint(len(sigs))]
+            if k % 4 == 0:  # straddle a chunk boundary
+                pos = chunk * rng.randint(1, size // chunk - 1) - len(sig) // 2
+            else:
+                pos = rng.randint(0, size - len(sig))
+            f.seek(pos)
+            f.write(sig)
+
+
 def config2(data_dir: str) -> None:
     sigs = _hex_sigs(2000, seed=2, length=16)
-    path = _random_file(os.path.join(data_dir, "32MB.7.bin"), 32, seed=7)
+    path = _random_file(os.path.join(data_dir, "32MB.7p.bin"), 32, seed=7)
+    _plant(path, sigs, 400)
     out = _scan_file_throughput(sigs, path, sort=False, check_oracle=True)
     emit("2_clamav2000_32MB", **out)
+    assert out["parity"] is True
+    assert out["events"] > 300  # plants found (a few may overwrite others)
 
 
 def config3(data_dir: str) -> None:

@@ -151,7 +151,7 @@ def test_group_counts_device():
     from tpu_pattern_matching.runtime.buffers import StreamState
 
     buf.add_stream(io.BytesIO(data), StreamState(file_id=0))
-    _, comp = sess.scan(buf.to_batch())
+    comp = sess.scan(buf.to_batch())
     gc = sess.group_counts(comp)
     # total group events == total match positions
     ev = match_python(patterns, data)

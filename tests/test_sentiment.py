@@ -103,3 +103,21 @@ def test_group_counts_path():
     ana.add_group_counts(gc, [[0], [1]], now=10.0)
     rep = ana.report(10.0)[0]
     assert math.isclose(rep.score_pct, 60.0, rel_tol=1e-6)
+
+
+def test_stdin_pipe_mode(capsys, monkeypatch):
+    import io as _io
+
+    lines = (
+        "Pattern 5 ('x') found in file 'f' at offset 1 [end: 1]\n"
+        "noise line\n"
+        "Pattern -2 ('y') found in file 'f' at offset 9 [end: 9]\n"
+        "Pattern 5 ('x') found in file 'f' at offset 12 [end: 12]\n"
+    )
+    monkeypatch.setattr("sys.stdin", _io.StringIO(lines))
+    rc = sentiment_main(["--stdin"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    # running decayed count per match line + final frequency dict
+    assert out.splitlines()[0].startswith("1 1.0")
+    assert "{'5': 2, '-2': 1}" in out

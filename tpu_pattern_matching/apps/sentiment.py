@@ -274,6 +274,28 @@ def run_subprocess_mode(args) -> int:
     return proc.returncode or 0
 
 
+def run_stdin_mode(args) -> int:
+    """Pipe filter (reference apps/sentiment_analysis2.py): read the
+    matcher's verbose stdout from stdin, print a decayed running match count
+    per line and final per-pattern frequencies.
+
+    Usage: tpu_aho_grep ... -v | tpm-sentiment --stdin --patterns p.txt
+    """
+    cnt = TimeWindowCounter(60)
+    nmatches = 0
+    freqs: dict[str, int] = {}
+    for line in sys.stdin:
+        if line.startswith("Pattern"):
+            nmatches += 1
+            now = time.time()
+            cnt.inc(1.0, now)
+            print(nmatches, cnt.get())
+            pid = line.split()[1]
+            freqs[pid] = freqs.get(pid, 0) + 1
+    print(freqs)
+    return 0
+
+
 def print_reports(ana: SentimentAnalyzer) -> None:
     now = time.time()
     stamp = time.strftime("%a, %d %B %Y %H:%M:%S")
@@ -290,8 +312,14 @@ def print_reports(ana: SentimentAnalyzer) -> None:
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="tpm-sentiment")
-    ap.add_argument("input")
-    ap.add_argument("--patterns", required=True)
+    ap.add_argument("input", nargs="?", default="-")
+    ap.add_argument("--patterns")
+    ap.add_argument(
+        "--stdin",
+        action="store_true",
+        help="pipe mode: parse matcher -v output from stdin "
+        "(reference sentiment_analysis2.py)",
+    )
     ap.add_argument("--chunk-size", dest="chunk_size", type=int, default=4096)
     ap.add_argument("--global-ws", dest="global_ws", type=int, default=8192)
     ap.add_argument("--interval", type=float, default=5.0)
@@ -302,6 +330,10 @@ def main(argv=None) -> int:
     )
     ap.add_argument("--build-patterns", nargs=3, metavar=("NEG", "POS", "SCORED"))
     args = ap.parse_args(argv)
+    if args.stdin:
+        return run_stdin_mode(args)
+    if not args.patterns or args.input == "-":
+        ap.error("--patterns and an input file are required outside --stdin")
     metadata = None
     if args.build_patterns:
         neg, pos, scored = args.build_patterns

@@ -211,7 +211,7 @@ def main(argv: list[str] | None = None) -> int:
         # decodes batch k (the role of the reference's -w worker overlap)
         pending: deque = deque()
         for item in feeder:
-            _, comp = sess.scan(item.batch)
+            comp = sess.scan(item.batch)
             pending.append((item, comp))
             if len(pending) >= 2:
                 consume(*pending.popleft())

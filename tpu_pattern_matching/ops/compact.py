@@ -35,20 +35,45 @@ from tpu_pattern_matching.ops.table import DeviceTable
 class CompactMatches:
     """Dense (lane, pos, state, gid, rep_pid) tuples for one batch.
 
-    ``total`` is the exact event count (including per-lane slot overflow);
-    ``reported`` is the number of live entries (<= capacity). Entries beyond
-    ``reported`` are zero-filled. ``pos`` is the match END offset within the
-    lane's own span; absolute stream/file offsets are ``base_off[lane] + pos``
-    computed host-side in 64-bit (device arrays stay int32 — JAX default).
+    ``meta = [total, reported]``: total is the exact event count (including
+    per-lane slot overflow); reported is the number of live entries
+    (<= capacity). ``packed`` stacks the five tuple arrays as [5, K] so the
+    host fetches results in ONE device-to-host transfer (per-field pulls are
+    latency-bound). ``pos`` is the match END offset within the lane's own
+    span; absolute stream/file offsets are ``base_off[lane] + pos`` computed
+    host-side in 64-bit (device arrays stay int32 — JAX default).
     """
 
-    total: jax.Array  # scalar int32
-    reported: jax.Array  # scalar int32
-    lane: jax.Array  # [K] int32
-    pos: jax.Array  # [K] int32
-    state: jax.Array  # [K] int32
-    gid: jax.Array  # [K] int32
-    rep_pid: jax.Array  # [K] int32
+    meta: jax.Array  # [2] int32: total, reported
+    packed: jax.Array  # [5, K] int32: lane, pos, state, gid, rep_pid
+
+    @property
+    def total(self) -> jax.Array:
+        return self.meta[0]
+
+    @property
+    def reported(self) -> jax.Array:
+        return self.meta[1]
+
+    @property
+    def lane(self) -> jax.Array:
+        return self.packed[0]
+
+    @property
+    def pos(self) -> jax.Array:
+        return self.packed[1]
+
+    @property
+    def state(self) -> jax.Array:
+        return self.packed[2]
+
+    @property
+    def gid(self) -> jax.Array:
+        return self.packed[3]
+
+    @property
+    def rep_pid(self) -> jax.Array:
+        return self.packed[4]
 
 
 @functools.partial(jax.jit, static_argnames=("capacity",))
@@ -77,7 +102,9 @@ def _compact_jit(counts, slot_state, slot_pos, state_gid, group_rep, *, capacity
     total = jnp.sum(counts)
     gid = jnp.where(out_state > 0, jnp.take(state_gid, out_state, mode="clip"), -1)
     rep_pid = jnp.where(gid >= 0, jnp.take(group_rep, gid, mode="clip"), -1)
-    return total, reported, out_lane, out_pos, out_state, gid, rep_pid
+    meta = jnp.stack([total, reported])
+    packed = jnp.stack([out_lane, out_pos, out_state, gid, rep_pid])
+    return meta, packed
 
 
 def compact_matches(
@@ -85,11 +112,15 @@ def compact_matches(
     result: ScanResult,
     capacity: int | None = None,
 ) -> CompactMatches:
-    """Compact per-lane slots into dense match tuples (device-side)."""
+    """Compact per-lane slots into dense match tuples (device-side).
+
+    ``capacity`` bounds the dense result (and therefore the single
+    device-to-host transfer that fetches it); totals stay exact past it.
+    """
     C, R = result.slot_state.shape
     if capacity is None:
-        capacity = C * R
-    total, reported, lane, pos, state, gid, rep_pid = _compact_jit(
+        capacity = min(C * R, 8192)
+    meta, packed = _compact_jit(
         result.counts,
         result.slot_state,
         result.slot_pos,
@@ -97,44 +128,108 @@ def compact_matches(
         table.group_rep,
         capacity=capacity,
     )
-    return CompactMatches(
-        total=total,
-        reported=reported,
-        lane=lane,
-        pos=pos,
-        state=state,
-        gid=gid,
-        rep_pid=rep_pid,
-    )
+    return CompactMatches(meta=meta, packed=packed)
 
 
 @functools.partial(jax.jit, static_argnames=("chunk_len",))
-def _sort_jit(reported, lane, pos, state, gid, rep_pid, *, chunk_len):
+def _sort_jit(meta, packed, *, chunk_len):
+    lane, pos, state, gid, rep_pid = packed
     K = lane.shape[0]
     # key = within-batch absolute position; dead slots pushed to the end
     key = lane * chunk_len + pos
     slot_iota = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0).squeeze(-1)
-    key = jnp.where(slot_iota < reported, key, jnp.iinfo(jnp.int32).max)
+    key = jnp.where(slot_iota < meta[1], key, jnp.iinfo(jnp.int32).max)
     key, lane, pos, state, gid, rep_pid = jax.lax.sort(
         (key, lane, pos, state, gid, rep_pid), num_keys=1
     )
-    return lane, pos, state, gid, rep_pid
+    return jnp.stack([lane, pos, state, gid, rep_pid])
 
 
 def sort_matches(m: CompactMatches, chunk_len: int) -> CompactMatches:
     """Order compacted matches by within-batch position (BitonicSort role)."""
-    lane, pos, state, gid, rep_pid = _sort_jit(
-        m.reported, m.lane, m.pos, m.state, m.gid, m.rep_pid, chunk_len=chunk_len
+    packed = _sort_jit(m.meta, m.packed, chunk_len=chunk_len)
+    return CompactMatches(meta=m.meta, packed=packed)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("alphabet_size", "halo", "max_results", "capacity",
+                     "sort", "chunk_len"),
+)
+def _scan_compact_jit(
+    table_flat,
+    state_gid,
+    group_rep,
+    data,
+    bounds,  # [2, C] int32: start_t, end_t (packed: one H2D transfer)
+    *,
+    alphabet_size,
+    halo,
+    max_results,
+    capacity,
+    sort,
+    chunk_len,
+):
+    from tpu_pattern_matching.ops.match_xla import _scan_kernel
+
+    data_tm = jax.lax.optimization_barrier(data.T)
+    res = _scan_kernel(
+        table_flat,
+        data_tm,
+        bounds[0],
+        bounds[1],
+        alphabet_size=alphabet_size,
+        halo=halo,
+        max_results=max_results,
     )
-    return CompactMatches(
-        total=m.total,
-        reported=m.reported,
-        lane=lane,
-        pos=pos,
-        state=state,
-        gid=gid,
-        rep_pid=rep_pid,
+    meta, packed = _compact_jit(
+        res.counts,
+        res.slot_state,
+        res.slot_pos,
+        state_gid,
+        group_rep,
+        capacity=capacity,
     )
+    if sort:
+        packed = _sort_jit(meta, packed, chunk_len=chunk_len)
+    return meta, packed
+
+
+def scan_and_compact(
+    table: DeviceTable,
+    data,
+    bounds,
+    *,
+    halo: int,
+    max_results: int = 16,
+    capacity: int | None = None,
+    sort: bool = False,
+    chunk_len: int = 0,
+) -> CompactMatches:
+    """Scan + compact (+ optional sort) in ONE device dispatch.
+
+    The multi-call pipeline (scan, compact, sort as separate jits) costs a
+    host-device roundtrip per stage — significant on remote-attached
+    devices; the reference pays the same structure as three kernel launches
+    per round (SURVEY 3.2/3.3).
+    """
+    C = data.shape[0]
+    if capacity is None:
+        capacity = min(C * max_results, 8192)
+    meta, packed = _scan_compact_jit(
+        table.table_flat,
+        table.state_gid,
+        table.group_rep,
+        data,
+        bounds,
+        alphabet_size=table.alphabet_size,
+        halo=halo,
+        max_results=max_results,
+        capacity=capacity,
+        sort=sort,
+        chunk_len=chunk_len,
+    )
+    return CompactMatches(meta=meta, packed=packed)
 
 
 def per_group_counts(table: DeviceTable, m: CompactMatches) -> jax.Array:

@@ -81,33 +81,48 @@ class MatchSession:
     def new_buffer(self) -> DataBuffer:
         return DataBuffer(self.max_chunks, self.chunk_len, self.halo)
 
-    def scan(self, batch: HostBatch) -> tuple[ScanResult, CompactMatches]:
-        """Device scan + compaction of one batch (undecoded)."""
+    def scan(self, batch: HostBatch) -> CompactMatches:
+        """Device scan + compaction (+ sort) of one batch — ONE dispatch."""
+        import numpy as _np
+
+        from tpu_pattern_matching.ops.compact import scan_and_compact
+
         data = batch.data
         if self.data_sharding is not None:
             import jax
 
             data = jax.device_put(data, self.data_sharding)
-        res = scan_batch(
+        bounds = _np.stack([batch.start_t, batch.end_t])
+        return scan_and_compact(
             self.dev,
             data,
-            batch.start_t,
-            batch.end_t,
+            bounds,
             halo=batch.halo,
             max_results=self.max_results,
+            sort=self.sort,
+            chunk_len=self.chunk_len,
         )
-        comp = compact_matches(self.dev, res)
-        if self.sort:
-            comp = sort_matches(comp, self.chunk_len)
-        return res, comp
 
     def decode(self, batch: HostBatch, comp: CompactMatches) -> BatchMatches:
-        """Pull compacted matches to host and expand match groups."""
-        reported = int(comp.reported)
-        total = int(comp.total)
-        lane = np.asarray(comp.lane[:reported]) if reported else np.zeros(0, np.int32)
-        pos = np.asarray(comp.pos[:reported]) if reported else np.zeros(0, np.int32)
-        gid = np.asarray(comp.gid[:reported]) if reported else np.zeros(0, np.int32)
+        """Pull compacted matches to host and expand match groups.
+
+        Exactly two device-to-host transfers per batch (meta, then the
+        packed tuple block only when matches exist) — per-field pulls are
+        latency-bound on remote-attached devices.
+        """
+        meta = np.asarray(comp.meta)
+        total, reported = int(meta[0]), int(meta[1])
+        if reported:
+            # fetch only a power-of-two bucket >= reported: transfer stays
+            # proportional to matches while the slice-op shapes (and thus
+            # compiles) stay bounded to log2(K) variants
+            K = comp.packed.shape[1]
+            bucket = 256
+            while bucket < reported:
+                bucket *= 2
+            bucket = min(bucket, K)
+            packed = np.asarray(comp.packed[:, :bucket])
+            lane, pos, _state, gid, _rep = packed
         events = []
         for k in range(reported):
             ln = int(lane[k])
@@ -129,8 +144,7 @@ class MatchSession:
         )
 
     def scan_and_decode(self, batch: HostBatch) -> BatchMatches:
-        _, comp = self.scan(batch)
-        return self.decode(batch, comp)
+        return self.decode(batch, self.scan(batch))
 
     def group_counts(self, comp: CompactMatches) -> np.ndarray:
         return np.asarray(per_group_counts(self.dev, comp))
@@ -141,19 +155,32 @@ class MatchSession:
         self, fobj, file_id: int = 0, text_mode: bool = False
     ) -> Iterator[BatchMatches]:
         """Scan one stream batch-by-batch (continuity handled via halos)."""
-        buf = self.new_buffer()
+        # two alternating buffers + depth-1 dispatch pipeline: fill and scan
+        # batch k+1 while batch k's results come back (the reference's -w
+        # worker overlap, SURVEY 2.5 pipeline parallelism)
+        bufs = [self.new_buffer(), self.new_buffer()]
+        cur = 0
+        pending: tuple[HostBatch, CompactMatches] | None = None
         stream = StreamState(file_id=file_id)
         while True:
+            buf = bufs[cur]
             if text_mode:
                 code, rd, _ = buf.add_lines(fobj, stream)
             else:
                 code, rd = buf.add_stream(fobj, stream)
             eof = rd == 0
             if buf.chunks and (code == -1 or eof):
-                yield self.scan_and_decode(buf.to_batch())
-                buf.reset()
+                batch = buf.to_batch()
+                comp = self.scan(batch)  # async dispatch
+                if pending is not None:
+                    yield self.decode(*pending)
+                pending = (batch, comp)
+                cur ^= 1
+                bufs[cur].reset()
             if eof:
                 break
+        if pending is not None:
+            yield self.decode(*pending)
 
     def find(
         self, data: bytes, text_mode: bool = False

@@ -119,13 +119,12 @@ def run_ushort_grep(args) -> int:
     )
     comp = compact_matches(dev, res)
     stats.rounds = 1
-    stats.matches_total = int(comp.total)
-    reported = int(comp.reported)
+    meta = np.asarray(comp.meta)
+    stats.matches_total = int(meta[0])
+    reported = int(meta[1])
     stats.matches_reported = reported
-    if args.verbose:
-        lane = np.asarray(comp.lane[:reported])
-        pos = np.asarray(comp.pos[:reported])
-        gid = np.asarray(comp.gid[:reported])
+    if args.verbose and reported:
+        lane, pos, _state, gid, _rep = np.asarray(comp.packed)
         for k in range(reported):
             ln = int(lane[k])
             fname = filenames[int(file_ids[ln])]

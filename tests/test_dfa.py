@@ -137,3 +137,25 @@ def test_large_random_sigset():
     data = patterns[0] + data + patterns[7]
     table = compile_patterns(patterns)
     assert sorted(table_scan(table, data)) == sorted(match_python(patterns, data))
+
+
+def test_nocase_matching():
+    ac = AhoCorasick(nocase=True)
+    ac.add_pattern(b"ViRuS")
+    ac.add_pattern(b"mal")
+    table = ac.compile()
+    got = table_scan(table, b"VIRUS virus Virus MAL xyz")
+    # ends at 4, 10, 16 for virus; 20 for mal
+    assert [(o, p) for o, p in got] == [(4, 0), (10, 0), (16, 0), (20, 1)]
+    # case-sensitive control
+    table_cs = compile_patterns([b"ViRuS"])
+    assert table_scan(table_cs, b"VIRUS virus") == []
+
+
+def test_nocase_non_letters_unaffected():
+    ac = AhoCorasick(nocase=True)
+    ac.add_pattern(bytes([0x41, 0x00, 0x5A]))  # 'A', NUL, 'Z' -> folds to a,NUL,z
+    table = ac.compile()
+    assert table_scan(table, bytes([0x61, 0x00, 0x7A])) == [(2, 0)]
+    assert table_scan(table, bytes([0x41, 0x00, 0x5A])) == [(2, 0)]
+    assert table_scan(table, bytes([0x41, 0x20, 0x5A])) == []

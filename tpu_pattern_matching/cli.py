@@ -67,6 +67,12 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("-x", dest="hex_pat", action="store_true")
     ap.add_argument("-F", dest="follow", action="store_true")
     ap.add_argument("-M", dest="mapped", action="store_true")  # compat no-op
+    ap.add_argument(
+        "-i",
+        dest="nocase",
+        action="store_true",
+        help="ASCII case-insensitive matching",
+    )
     ap.add_argument("--ushort", action="store_true", help="packet-metadata mode")
     ap.add_argument("--sort", action="store_true")
     ap.add_argument("--save-dfa", dest="save_dfa")
@@ -116,7 +122,7 @@ def compile_table(args) -> DfaTable:
         parsed = load_pattern_file(
             args.pat_path, hex_pat=args.hex_pat, pat_size_limit=args.pat_size_limit
         )
-        ac = AhoCorasick()
+        ac = AhoCorasick(nocase=getattr(args, "nocase", False))
     if not parsed:
         print("ERROR: pattern file is empty", file=sys.stderr)
         sys.exit(2)

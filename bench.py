@@ -10,12 +10,21 @@ against a nominal 1 GB/s/chip north-star denominator.
 
 Workload: 10,000 random hex signatures truncated to 12 bytes (the reference's
 recommended ``-m 12`` for large ClamAV sets, README:71-83) scanned over
-random binary — the memory-bound regime (DFA table ~120k states in HBM,
-gather-dominated).
+random binary.
+
+MEASUREMENT HONESTY (see BENCH_NOTES.md "measurement artifact"): on the
+axon-tunneled backend ``jax.block_until_ready`` does NOT wait for device
+execution, so wall-clock around a dispatch measures enqueue rate. This
+benchmark therefore runs the scan K times inside ONE jitted computation
+(``lax.scan``), forces a host sync by fetching the scalar total, and
+differences t(K_hi) - t(K_lo) to cancel fixed dispatch/transfer overhead.
+The harness was validated against a 4096^3 bf16 matmul (166 Tflop/s ≈ v5e
+peak) and an elementwise pass (540 GB/s HBM r+w).
 """
 
 from __future__ import annotations
 
+import functools
 import json
 import time
 
@@ -31,49 +40,63 @@ def build_workload(n_patterns: int = 10_000, pat_len: int = 12, seed: int = 42):
     return compile_patterns(pats)
 
 
-def main() -> None:
+def devices_with_retry(attempts: int = 4, wait_s: float = 15.0):
+    """The tunnel's backend registration is transiently flaky."""
     import jax
 
-    from tpu_pattern_matching.ops.match_xla import scan_batch
-    from tpu_pattern_matching.ops.table import DeviceTable
+    for i in range(attempts):
+        try:
+            return jax.devices()
+        except RuntimeError:
+            if i == attempts - 1:
+                raise
+            time.sleep(wait_s)
 
-    from tpu_pattern_matching.utils.common import pad_halo
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    devices_with_retry()
+
+    from tpu_pattern_matching.engine import best_scan_total_fn
 
     table = build_workload()
-    dev = DeviceTable.put(table)
+    C, B = 4096, 4096  # 16 MiB payload per scan
+    scan_total, halo = best_scan_total_fn(table, C, B)
 
-    C, B = 2048, 4096  # 8 MiB payload per batch
-    halo = pad_halo(table.max_pat_len - 1, B)  # align for the 8-wide unroll
     rng = np.random.RandomState(7)
-    data = rng.randint(0, 256, size=(C, halo + B)).astype(np.uint8)
-    start_t = np.full(C, halo, np.int32)
-    end_t = np.full(C, halo + B, np.int32)
-    data_dev = jax.device_put(data)
+    data = jax.device_put(
+        rng.randint(0, 256, size=(C, halo + B)).astype(np.uint8)
+    )
+    start_t = jax.device_put(np.full(C, halo, np.int32))
+    end_t = jax.device_put(np.full(C, halo + B, np.int32))
 
-    def run_once():
-        res = scan_batch(dev, data_dev, start_t, end_t, halo=halo, max_results=16)
-        jax.block_until_ready(res.counts)
-        return res
+    @functools.partial(jax.jit, static_argnames=("K",))
+    def repeat(data, start_t, end_t, *, K):
+        def body(acc, _):
+            return acc + scan_total(data, start_t, end_t), None
 
-    # compile, then warm until steady state: the first executions after
-    # compile run well below steady throughput (device/tunnel ramp)
-    run_once()
-    prev = None
-    for _ in range(12):
-        t0 = time.perf_counter()
-        run_once()
-        per_batch = time.perf_counter() - t0
-        if prev is not None and abs(prev - per_batch) / prev < 0.08:
-            break
-        prev = per_batch
-    iters = max(3, int(2.0 / max(per_batch, 1e-6)))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        run_once()
-    dt = time.perf_counter() - t0
+        acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.int32), None, length=K)
+        return acc
 
-    payload = C * B * iters
-    value = payload / dt
+    def run(K):
+        return int(repeat(data, start_t, end_t, K=K))
+
+    K_LO, K_HI = 1, 9
+    run(K_LO)
+    run(K_HI)  # compile both
+
+    def best_time(K, n=5):
+        best = float("inf")
+        for _ in range(n):
+            t0 = time.perf_counter()
+            run(K)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    per_scan = (best_time(K_HI) - best_time(K_LO)) / (K_HI - K_LO)
+    value = C * B / per_scan
     print(
         json.dumps(
             {

@@ -75,6 +75,13 @@ def build_argparser() -> argparse.ArgumentParser:
     )
     ap.add_argument("--ushort", action="store_true", help="packet-metadata mode")
     ap.add_argument("--sort", action="store_true")
+    ap.add_argument(
+        "--engine",
+        choices=("dense", "esc16"),
+        default="dense",
+        help="scan engine: dense (signed-table walk, default) or esc16 "
+        "(escape-encoded int16 fast path)",
+    )
     ap.add_argument("--save-dfa", dest="save_dfa")
     ap.add_argument("--load-dfa", dest="load_dfa")
     ap.add_argument("--json-stats", action="store_true")
@@ -164,6 +171,7 @@ def main(argv: list[str] | None = None) -> int:
         chunk_len=args.chunk_size,
         max_results=args.max_results,
         sort=args.sort,
+        engine=args.engine,
     )
 
     feeder = Feeder(

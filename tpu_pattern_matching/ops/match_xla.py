@@ -70,6 +70,7 @@ def _scan_kernel(
     alphabet_size: int,
     halo: int,
     max_results: int,
+    table_esc16: jax.Array | None = None,
 ) -> ScanResult:
     T, C = data_tm.shape
     R = max_results
@@ -79,9 +80,9 @@ def _scan_kernel(
     block = next(b for b in (8, 4, 2, 1) if T % b == 0)
     r_iota = jax.lax.broadcasted_iota(jnp.int32, (R, C), 0)
 
-    def body(carry, xs):
+    def walk_block(carry, blk, t0):
+        """Signed-table walk of one block with full match bookkeeping."""
         state, count, sl_state, sl_pos = carry
-        blk, t0 = xs
         nxts = []
         reports = []
         for k in range(block):
@@ -119,7 +120,40 @@ def _scan_kernel(
             without_matches,
             (count, sl_state, sl_pos),
         )
-        return (state, count, sl_state, sl_pos), None
+        return (state, count, sl_state, sl_pos)
+
+    def body(carry, xs):
+        blk, t0 = xs
+        return walk_block(carry, blk, t0), None
+
+    def body_esc(carry, xs):
+        # Escape fast path: one int16 gather per symbol, NO match
+        # bookkeeping at all. Escape cells (-1) mark transitions to final
+        # or deep (id >= 2**15) states, so a block with no escape in any
+        # lane provably has no matches and int16-exact states; any escape
+        # re-runs the whole block through the signed walk above (the
+        # block-start carry is untouched until the branch resolves).
+        blk, t0 = xs
+        st = carry[0]
+        esc = None
+        for k in range(block):
+            t = t0 + k
+            idx = st * alphabet_size + blk[k].astype(jnp.int32)
+            # after an escape st is garbage (possibly negative) — clip
+            # keeps the gather in-bounds; the result is discarded anyway
+            raw = jnp.take(table_esc16, idx, mode="clip").astype(jnp.int32)
+            valid = (t >= start_t) & (t < end_t)
+            esc_k = (raw < 0) & valid
+            esc = esc_k if esc is None else (esc | esc_k)
+            st = jnp.where(valid, raw, st)
+
+        def slow(args):
+            return walk_block(args, blk, t0)
+
+        def fast(args):
+            return (st,) + args[1:]
+
+        return jax.lax.cond(jnp.any(esc), slow, fast, carry), None
 
     init = (
         jnp.zeros((C,), jnp.int32),
@@ -133,7 +167,7 @@ def _scan_kernel(
         * block
     )
     (state, count, sl_state, sl_pos), _ = jax.lax.scan(
-        body, init, (xs_blocks, ts0)
+        body if table_esc16 is None else body_esc, init, (xs_blocks, ts0)
     )
     return ScanResult(
         counts=count,
@@ -146,7 +180,15 @@ def _scan_kernel(
     jax.jit, static_argnames=("alphabet_size", "halo", "max_results")
 )
 def _scan_batch_jit(
-    table_flat, data, start_t, end_t, *, alphabet_size, halo, max_results
+    table_flat,
+    data,
+    start_t,
+    end_t,
+    table_esc16,
+    *,
+    alphabet_size,
+    halo,
+    max_results,
 ):
     # lane-major [C, T] in; transpose once on device to time-major [T, C].
     # The barrier keeps XLA from fusing the transpose into the scan body
@@ -160,6 +202,7 @@ def _scan_batch_jit(
         alphabet_size=alphabet_size,
         halo=halo,
         max_results=max_results,
+        table_esc16=table_esc16,
     )
 
 
@@ -183,6 +226,7 @@ def scan_batch(
         data,
         start_t,
         end_t,
+        table.table_esc16,
         alphabet_size=table.alphabet_size,
         halo=halo,
         max_results=max_results,

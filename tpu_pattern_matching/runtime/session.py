@@ -61,11 +61,21 @@ class MatchSession:
         halo: int | None = None,
         sharding=None,
         sort: bool = False,
+        engine: str = "dense",
     ):
+        """``engine``: "dense" (default) walks the signed table every
+        block; "esc16" adds an escape-encoded int16 companion table whose
+        blocks skip all match bookkeeping unless a lane escapes. Honest
+        device timing (BENCH_NOTES.md "measurement artifact") shows XLA
+        lowers both walks to serialized per-element lookups, so esc16's
+        narrower gathers do NOT win on real TPU hardware — it is kept as
+        an option and for the CPU test mesh."""
         from tpu_pattern_matching.utils.common import pad_halo
 
+        if engine not in ("esc16", "dense"):
+            raise ValueError(f"unknown engine {engine!r}")
         self.table = table
-        self.dev = DeviceTable.put(table, sharding)
+        self.dev = DeviceTable.put(table, sharding, esc16=engine == "esc16")
         base_halo = (table.max_pat_len - 1) if halo is None else halo
         # pad so the scan engine's 8-wide unroll divides the tile length
         self.halo = pad_halo(base_halo, chunk_len)

@@ -75,7 +75,10 @@ def main() -> None:
     @functools.partial(jax.jit, static_argnames=("K",))
     def repeat(data, start_t, end_t, *, K):
         def body(acc, _):
-            return acc + scan_total(data, start_t, end_t), None
+            # thread the carry through an operand so XLA cannot hoist the
+            # loop-invariant scan out of the loop (it will: verified)
+            s = start_t + (acc & 1)
+            return acc + scan_total(data, s, end_t), None
 
         acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.int32), None, length=K)
         return acc

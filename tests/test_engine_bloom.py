@@ -1,0 +1,183 @@
+"""Bloom engine conformance: the Pallas q-gram filter + exact host verify
+must reproduce the CPU oracle's exact (end_offset, pattern_index) events —
+the same contract the dense engine meets. Runs in Pallas interpret mode on
+the CPU mesh (tests/conftest.py)."""
+
+import io
+
+import numpy as np
+import pytest
+
+from tpu_pattern_matching.core.dfa import AhoCorasick, compile_patterns
+from tpu_pattern_matching.core.oracle import match_python
+from tpu_pattern_matching.ops.bloom import BloomFilterTable
+from tpu_pattern_matching.runtime.session import MatchSession
+from tests.fixtures import planted_binary, random_words_corpus
+
+
+def oracle(patterns, data):
+    return sorted(match_python(patterns, data))
+
+
+def bloom_session(pats, **kw):
+    kw.setdefault("engine", "bloom")
+    return MatchSession(compile_patterns(pats), **kw)
+
+
+def test_auto_selects_bloom_for_bytes():
+    sess = MatchSession(compile_patterns([b"abcd"]), max_chunks=2,
+                        chunk_len=64)
+    assert sess.engine == "bloom"
+    assert sess.dev is None  # no DFA table shipped to the device
+
+
+def test_simple_words():
+    pats = [b"he", b"she", b"his", b"hers"]
+    sess = bloom_session(pats, max_chunks=4, chunk_len=64)
+    data = b"ushers and his, she sells hershey"
+    assert sess.find(data) == oracle(pats, data)
+
+
+def test_wide_stride_selected_for_small_sets():
+    bft = BloomFilterTable.build([b"0123456789ab"] * 3)
+    assert bft.cfg.q <= bft.cfg.stride <= 12 - bft.cfg.q + 1
+    assert bft.cfg.stride > 1  # cheap per-byte probing for tiny sets
+    assert bft.fp_est <= 1e-3
+
+
+def test_narrow_stride_selected_for_large_sets():
+    # big sets must limit the gram load: stride (grams/pattern) shrinks
+    rng = np.random.RandomState(0)
+    pats = [bytes(rng.randint(0, 256, size=12).astype(np.uint8))
+            for _ in range(10_000)]
+    small = BloomFilterTable.build(pats[:100])
+    big = BloomFilterTable.build(pats)
+    assert big.cfg.stride <= small.cfg.stride
+    assert big.n_grams <= 10_000 * big.cfg.stride
+    # the target is per-BYTE candidate rate (fp_est is per tested position)
+    assert big.fp_est / big.cfg.stride <= 1e-3
+
+
+def test_narrow_stride_end_to_end():
+    rng = np.random.RandomState(1)
+    pats = list({bytes(rng.randint(0, 256, size=8).astype(np.uint8))
+                 for _ in range(400)})
+    sess = bloom_session(pats, max_chunks=4, chunk_len=128)
+    cfg = sess.bloom_table.cfg
+    assert cfg.q <= cfg.stride <= 8 - cfg.q + 1
+    data = bytearray(rng.randint(0, 256, size=1024).astype(np.uint8))
+    for pos in (0, 100, 250, 1016):
+        data[pos : pos + 8] = pats[pos % len(pats)]
+    data = bytes(data)
+    assert sess.find(data) == oracle(pats, data)
+
+
+def test_match_at_chunk_boundaries():
+    pats = [b"abcde"]
+    data = b"".join(b"xxx" + b"abcde" for _ in range(20))
+    sess = bloom_session(pats, max_chunks=8, chunk_len=8)
+    assert sess.find(data) == oracle(pats, data)
+
+
+def test_match_straddles_batch_boundary():
+    pats = [b"abcdefgh", b"12345"]
+    data = b"zz" + b"abcdefgh" + b"q" * 9 + b"12345" + b"abcdefgh" * 3
+    sess = bloom_session(pats, max_chunks=2, chunk_len=8)
+    assert sess.find(data) == oracle(pats, data)
+
+
+def test_no_false_match_from_padding():
+    pats = [b"ab\x00\x00"]
+    sess = bloom_session(pats, max_chunks=4, chunk_len=8)
+    assert sess.find(b"xxxxxxab") == []
+    data2 = b"xxab\x00\x00yy"
+    assert sess.find(data2) == oracle(pats, data2)
+
+
+def test_no_false_match_from_missing_history():
+    pats = [b"\x00\x00ab"]
+    sess = bloom_session(pats, max_chunks=4, chunk_len=4)
+    assert sess.find(b"abzzzz") == []
+    data2 = b"q\x00\x00abzz"
+    assert sess.find(data2) == oracle(pats, data2)
+
+
+def test_overlapping_and_repeated():
+    pats = [b"aa", b"aaa"]
+    data = b"a" * 50
+    sess = bloom_session(pats, max_chunks=4, chunk_len=8)
+    assert sess.find(data) == oracle(pats, data)
+
+
+def test_single_byte_patterns():
+    pats = [b"x", b"yz"]
+    data = b"wxyzxxzy"
+    sess = bloom_session(pats, max_chunks=2, chunk_len=8)
+    assert sess.find(data) == oracle(pats, data)
+
+
+def test_co_terminating_patterns_grouped():
+    pats = [b"hers", b"ers", b"rs"]
+    sess = bloom_session(pats, max_chunks=2, chunk_len=32)
+    data = b"ushers"
+    got = list(sess.scan_stream(io.BytesIO(data)))
+    events = [ev for bm in got for ev in bm.events]
+    assert len(events) == 1  # one event carries all co-terminating pids
+    assert events[0].pattern_indices == [0, 1, 2]
+    assert events[0].end_offset == 5
+
+
+def test_match_storm_bitmap_complete():
+    # every position matches: the bitmap has no capacity cap to overflow
+    pats = [b"ab"]
+    data = b"ab" * 200
+    sess = bloom_session(pats, max_chunks=2, chunk_len=64)
+    assert sess.find(data) == oracle(pats, data)
+
+
+def test_nocase_bloom():
+    ac = AhoCorasick(nocase=True)
+    ac.add_pattern(b"Needle")
+    ac.add_pattern(b"HAYstack")
+    table = ac.compile()
+    sess = MatchSession(table, max_chunks=4, chunk_len=32, engine="bloom")
+    data = b"a nEEdLe in the HaySTACK, needle"
+    got = sess.find(data)
+    folded = bytes(c + 32 if 65 <= c <= 90 else c for c in data)
+    want = oracle([b"needle", b"haystack"], folded)
+    assert got == want
+    assert len(got) == 3
+
+
+def test_planted_binary_multi_batch():
+    pats = [b"\xde\xad\xbe\xef", b"needle!", b"\x01\x02\x03\x04\x05\x06"]
+    data, _ = planted_binary(13, 1 << 15, pats, 60)
+    sess = bloom_session(pats, max_chunks=16, chunk_len=256)
+    assert sess.find(data) == oracle(pats, data)
+
+
+def test_word_corpus_parity():
+    pats, data = random_words_corpus(seed=5)
+    sess = bloom_session(pats, max_chunks=8, chunk_len=128)
+    assert sess.find(data) == oracle(pats, data)
+
+
+def test_text_mode_lines():
+    pats = [b"good", b"bad"]
+    sess = bloom_session(pats, max_chunks=4, chunk_len=16)
+    data = b"this is good\nbad line\ngoodbad\n"
+    got = sess.find(data, text_mode=True)
+    assert got == oracle(pats, data)
+
+
+def test_fp_estimate_reported():
+    bft = BloomFilterTable.build([b"0123456789ab"] * 10)
+    assert 0.0 <= bft.fp_est < 1e-3
+
+
+def test_long_pattern_exceeds_chunk():
+    pat = bytes(range(32, 80))  # 48 bytes, chunk_len 16
+    pats = [pat]
+    data = b"z" * 10 + pat + b"y" * 20 + pat
+    sess = bloom_session(pats, max_chunks=4, chunk_len=16)
+    assert sess.find(data) == oracle(pats, data)

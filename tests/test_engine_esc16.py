@@ -153,4 +153,4 @@ def test_dense_engine_still_selectable_via_cli_flag():
     args = build_argparser().parse_args(["-f", "x", "--engine", "esc16"])
     assert args.engine == "esc16"
     args = build_argparser().parse_args(["-f", "x"])
-    assert args.engine == "dense"
+    assert args.engine == "auto"

@@ -113,10 +113,11 @@ def test_word_corpus_text_mode():
 
 
 def test_exact_total_with_slot_overflow():
+    # dense-engine slot semantics under test: pin engine="dense"
     patterns = [b"aa"]
     data = b"a" * 64  # 63 events in one 64-byte chunk >> max_results
     table = compile_patterns(patterns)
-    sess = MatchSession(table, max_chunks=2, chunk_len=64, max_results=4)
+    sess = MatchSession(table, max_chunks=2, chunk_len=64, max_results=4, engine="dense")
     buf = sess.new_buffer()
     from tpu_pattern_matching.runtime.buffers import StreamState
 
@@ -146,7 +147,7 @@ def test_group_counts_device():
     patterns = [b"he", b"she", b"cat"]
     data = b"she her cat shed cats"
     table = compile_patterns(patterns)
-    sess = MatchSession(table, max_chunks=4, chunk_len=32)
+    sess = MatchSession(table, max_chunks=4, chunk_len=32, engine="dense")
     buf = sess.new_buffer()
     from tpu_pattern_matching.runtime.buffers import StreamState
 

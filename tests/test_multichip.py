@@ -69,7 +69,7 @@ def test_sharded_equals_unsharded(mesh_ctx):
     patterns = [b"ab", b"bc"]
     data = b"abcabc" * 100
     table = compile_patterns(patterns)
-    sess = MatchSession(table, max_chunks=16, chunk_len=64)
+    sess = MatchSession(table, max_chunks=16, chunk_len=64, engine="dense")
     expect = sess.find(data)
 
     dev = DeviceTable.put(table, mesh_ctx.replicated)

@@ -77,10 +77,12 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--sort", action="store_true")
     ap.add_argument(
         "--engine",
-        choices=("dense", "esc16"),
-        default="dense",
-        help="scan engine: dense (signed-table walk, default) or esc16 "
-        "(escape-encoded int16 fast path)",
+        choices=("auto", "bloom", "dense", "esc16"),
+        default="auto",
+        help="scan engine: auto (default; bloom for byte patterns), bloom "
+        "(Pallas q-gram filter + exact host verify — the TPU hot path), "
+        "dense (XLA signed-table DFA walk), esc16 (dense + escape-encoded "
+        "int16 fast path)",
     )
     ap.add_argument("--save-dfa", dest="save_dfa")
     ap.add_argument("--load-dfa", dest="load_dfa")

@@ -85,6 +85,7 @@ class DfaTable:
     alphabet_size: int
     max_pat_len: int
     patterns: list[Pattern]
+    nocase: bool = False  # patterns case-folded; engines must fold input
 
     @property
     def num_states(self) -> int:
@@ -122,6 +123,7 @@ class DfaTable:
             group_rep=self.group_rep,
             alphabet_size=np.int64(self.alphabet_size),
             max_pat_len=np.int64(self.max_pat_len),
+            nocase=np.bool_(self.nocase),
             pat_symbols=np.array([p.symbols for p in self.patterns], dtype=object),
             pat_iids=np.array([p.iid for p in self.patterns], dtype=np.int64),
             pat_labels=np.array([p.label for p in self.patterns], dtype=object),
@@ -147,6 +149,7 @@ class DfaTable:
             alphabet_size=int(z["alphabet_size"]),
             max_pat_len=int(z["max_pat_len"]),
             patterns=patterns,
+            nocase=bool(z["nocase"]) if "nocase" in z else False,
         )
 
 
@@ -327,6 +330,7 @@ class AhoCorasick:
             alphabet_size=A,
             max_pat_len=max(p.n for p in self.patterns),
             patterns=list(self.patterns),
+            nocase=self.nocase,
         )
 
 

@@ -67,8 +67,82 @@ def _lib():
         ]
         lib.oracle_match_bytes.restype = ctypes.c_int64
         lib.oracle_match_bytes.argtypes = list(lib.oracle_match.argtypes)
+        lib.oracle_match_windows.restype = ctypes.c_int64
+        lib.oracle_match_windows.argtypes = [
+            ctypes.c_void_p,  # handle
+            ctypes.c_void_p,  # data
+            ctypes.c_int64,  # lane_stride
+            ctypes.c_void_p,  # xlat (or None)
+            ctypes.c_void_p,  # lanes
+            ctypes.c_void_p,  # w0s
+            ctypes.c_void_p,  # w1s
+            ctypes.c_void_p,  # keep_los
+            ctypes.c_void_p,  # keep_his
+            ctypes.c_int64,  # n_windows
+            ctypes.c_void_p,  # out_lane
+            ctypes.c_void_p,  # out_end
+            ctypes.c_void_p,  # out_pid
+            ctypes.c_int64,  # cap
+        ]
+        lib.dense_match_windows.restype = ctypes.c_int64
+        lib.dense_match_windows.argtypes = [
+            ctypes.c_void_p,  # table
+            ctypes.c_int32,  # alphabet
+        ] + lib.oracle_match_windows.argtypes[1:3] + \
+            lib.oracle_match_windows.argtypes[4:]
         _LIB = lib
         return lib
+
+
+def dense_match_windows(
+    table: np.ndarray,  # [S * alphabet] int32 signed dense table
+    alphabet: int,
+    data: np.ndarray,  # [n_lanes, lane_stride] uint8
+    lanes: np.ndarray,
+    w0s: np.ndarray,
+    w1s: np.ndarray,
+    keep_los: np.ndarray,
+    keep_his: np.ndarray,
+    cap: int | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Batched dense-table window verification (bloom engine hot path).
+
+    Returns (lanes int32[n], ends int64[n], states int32[n]) — states are
+    the signed-table FINAL states; resolve pattern sets via state_gid."""
+    lib = _lib()
+    table = np.ascontiguousarray(table, np.int32)
+    data = np.ascontiguousarray(data, np.uint8)
+    n = len(lanes)
+    lanes = np.ascontiguousarray(lanes, np.int32)
+    w0s = np.ascontiguousarray(w0s, np.int64)
+    w1s = np.ascontiguousarray(w1s, np.int64)
+    keep_los = np.ascontiguousarray(keep_los, np.int64)
+    keep_his = np.ascontiguousarray(keep_his, np.int64)
+    if cap is None:
+        cap = max(4096, 4 * n)
+    while True:
+        out_lane = np.zeros(cap, np.int32)
+        out_end = np.zeros(cap, np.int64)
+        out_state = np.zeros(cap, np.int32)
+        total = lib.dense_match_windows(
+            table.ctypes.data_as(ctypes.c_void_p),
+            alphabet,
+            data.ctypes.data_as(ctypes.c_void_p),
+            data.shape[1],
+            lanes.ctypes.data_as(ctypes.c_void_p),
+            w0s.ctypes.data_as(ctypes.c_void_p),
+            w1s.ctypes.data_as(ctypes.c_void_p),
+            keep_los.ctypes.data_as(ctypes.c_void_p),
+            keep_his.ctypes.data_as(ctypes.c_void_p),
+            n,
+            out_lane.ctypes.data_as(ctypes.c_void_p),
+            out_end.ctypes.data_as(ctypes.c_void_p),
+            out_state.ctypes.data_as(ctypes.c_void_p),
+            cap,
+        )
+        if total <= cap:
+            return out_lane[:total], out_end[:total], out_state[:total]
+        cap = int(total)
 
 
 class NativeOracle:
@@ -145,3 +219,55 @@ class NativeOracle:
         if total > len(off):
             raise RuntimeError("oracle capacity exceeded")
         return sorted(zip(off.tolist(), pid.tolist()))
+
+    def match_windows(
+        self,
+        data: np.ndarray,  # [n_lanes, lane_stride] uint8, C-contiguous
+        lanes: np.ndarray,  # [W] int32
+        w0s: np.ndarray,  # [W] int64 window starts (row index)
+        w1s: np.ndarray,  # [W] int64 window ends (exclusive)
+        keep_los: np.ndarray,  # [W] int64: report ends >= this
+        keep_his: np.ndarray,  # [W] int64: report ends < this
+        xlat: np.ndarray | None = None,  # [256] uint8 symbol translation
+        cap: int | None = None,
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Verify many windows in one native call (bloom engine hot path).
+
+        Returns (lanes int32[n], ends int64[n], pids int32[n]); windows are
+        scanned from the root state (no cross-window continuity)."""
+        data = np.ascontiguousarray(data, np.uint8)
+        n = len(lanes)
+        lanes = np.ascontiguousarray(lanes, np.int32)
+        w0s = np.ascontiguousarray(w0s, np.int64)
+        w1s = np.ascontiguousarray(w1s, np.int64)
+        keep_los = np.ascontiguousarray(keep_los, np.int64)
+        keep_his = np.ascontiguousarray(keep_his, np.int64)
+        if xlat is not None:
+            xlat = np.ascontiguousarray(xlat, np.uint8)
+        if cap is None:
+            cap = max(4096, 4 * n)
+        while True:
+            out_lane = np.zeros(cap, np.int32)
+            out_end = np.zeros(cap, np.int64)
+            out_pid = np.zeros(cap, np.int32)
+            total = self._lib.oracle_match_windows(
+                self._h,
+                data.ctypes.data_as(ctypes.c_void_p),
+                data.shape[1],
+                None if xlat is None else xlat.ctypes.data_as(
+                    ctypes.c_void_p
+                ),
+                lanes.ctypes.data_as(ctypes.c_void_p),
+                w0s.ctypes.data_as(ctypes.c_void_p),
+                w1s.ctypes.data_as(ctypes.c_void_p),
+                keep_los.ctypes.data_as(ctypes.c_void_p),
+                keep_his.ctypes.data_as(ctypes.c_void_p),
+                n,
+                out_lane.ctypes.data_as(ctypes.c_void_p),
+                out_end.ctypes.data_as(ctypes.c_void_p),
+                out_pid.ctypes.data_as(ctypes.c_void_p),
+                cap,
+            )
+            if total <= cap:
+                return out_lane[:total], out_end[:total], out_pid[:total]
+            cap = int(total)

@@ -189,4 +189,122 @@ int64_t oracle_match_bytes(void *h, const uint8_t *data, int64_t n,
     return total;
 }
 
+// Batched window verification for the bloom filter engine
+// (ops/bloom.py + runtime/verify.py): walk many small windows of a
+// lane-major byte buffer in ONE call — a per-window Python/ctypes round
+// trip would cap verification at <1M windows/s while the device filter
+// emits tens of millions on match-heavy inputs.
+//
+// data is [n_lanes, lane_stride] row-major uint8. Window i scans
+// data[lanes[i], w0s[i]:w1s[i]] from the root state; events whose end row
+// e lies in [keep_los[i], keep_his[i]) are appended as (lane, e, pid).
+// xlat, if non-null, is a 256-byte symbol translation (case folding).
+// Returns the total event count (may exceed cap; callers re-run with room).
+int64_t oracle_match_windows(void *h, const uint8_t *data,
+                             int64_t lane_stride, const uint8_t *xlat,
+                             const int32_t *lanes, const int64_t *w0s,
+                             const int64_t *w1s, const int64_t *keep_los,
+                             const int64_t *keep_his, int64_t n_windows,
+                             int32_t *out_lane, int64_t *out_end,
+                             int32_t *out_pid, int64_t cap) {
+    auto *o = static_cast<Oracle *>(h);
+    const int32_t *root = o->root_next.data();
+    int64_t total = 0;
+    for (int64_t w = 0; w < n_windows; ++w) {
+        const uint8_t *row = data + (int64_t)lanes[w] * lane_stride;
+        const int64_t lo = keep_los[w], hi = keep_his[w];
+        int32_t s = 0;
+        for (int64_t i = w0s[w]; i < w1s[w]; ++i) {
+            int32_t c = xlat ? xlat[row[i]] : row[i];
+            int32_t nxt;
+            if (s == 0) {
+                nxt = root[c];
+            } else {
+                nxt = o->child(s, c);
+                while (nxt < 0 && s != 0) {
+                    s = o->nodes[s].fail;
+                    nxt = s == 0 ? root[c] : o->child(s, c);
+                }
+                if (nxt < 0) nxt = 0;
+            }
+            s = nxt;
+            if (!o->nodes[s].out.empty() && i >= lo && i < hi) {
+                for (int32_t pid : o->nodes[s].out) {
+                    if (total < cap) {
+                        out_lane[total] = lanes[w];
+                        out_end[total] = i;
+                        out_pid[total] = pid;
+                    }
+                    ++total;
+                }
+            }
+        }
+    }
+    return total;
+}
+
+// Dense-table window walker: same job as oracle_match_windows but driven by
+// the framework's compiled dense signed table (core/dfa.py goto_signed,
+// flattened int32 [S * alphabet]; cell = next state, negated iff final) —
+// two array loads per byte instead of binary-searched edge lists, ~20x
+// faster per window. Emits the FINAL STATE of each match (the caller
+// resolves it to the co-terminating pattern set via state_gid/groups,
+// exactly like the device dense engine's decode). Case-insensitive tables
+// already alias uppercase columns, so no xlat is needed here.
+int64_t dense_match_windows(const int32_t *table, int32_t alphabet,
+                            const uint8_t *data, int64_t lane_stride,
+                            const int32_t *lanes, const int64_t *w0s,
+                            const int64_t *w1s, const int64_t *keep_los,
+                            const int64_t *keep_his, int64_t n_windows,
+                            int32_t *out_lane, int64_t *out_end,
+                            int32_t *out_state, int64_t cap) {
+    // The walk is memory-latency bound: depth>=2 table rows of a big
+    // automaton miss L2, so a one-window-at-a-time loop pays a full miss
+    // per byte. Interleave GN independent windows so their loads overlap
+    // (memory-level parallelism) — measured ~an order of magnitude faster
+    // at ClamAV scale.
+    constexpr int GN = 16;
+    int64_t total = 0;
+    for (int64_t base = 0; base < n_windows; base += GN) {
+        const int g = (int)((n_windows - base < GN) ? n_windows - base : GN);
+        const uint8_t *rows[GN];
+        int64_t i1[GN], lo[GN], hi[GN], start[GN];
+        int32_t st[GN];
+        int64_t maxlen = 0;
+        for (int j = 0; j < g; ++j) {
+            const int64_t w = base + j;
+            rows[j] = data + (int64_t)lanes[w] * lane_stride;
+            start[j] = w0s[w];
+            i1[j] = w1s[w];
+            lo[j] = keep_los[w];
+            hi[j] = keep_his[w];
+            st[j] = 0;
+            const int64_t len = w1s[w] - w0s[w];
+            if (len > maxlen) maxlen = len;
+        }
+        for (int64_t off = 0; off < maxlen; ++off) {
+            for (int j = 0; j < g; ++j) {
+                const int64_t i = start[j] + off;
+                if (i >= i1[j]) continue;
+                const int32_t raw =
+                    table[(int64_t)st[j] * alphabet + rows[j][i]];
+                if (raw < 0) {
+                    st[j] = -raw;
+                    if (i >= lo[j] && i < hi[j]) {
+                        if (total < cap) {
+                            out_lane[total] = lanes[base + j];
+                            out_end[total] = i;
+                            out_state[total] = st[j];
+                        }
+                        ++total;
+                    }
+                } else {
+                    st[j] = raw;
+                }
+            }
+        }
+    }
+    return total;
+}
+
 }  // extern "C"

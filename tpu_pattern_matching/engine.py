@@ -40,18 +40,15 @@ def best_scan_total_fn(
     halo = pad_halo(table.max_pat_len - 1, chunk_len)
 
     if engine == "bloom":
-        try:
-            from tpu_pattern_matching.ops.bloom import BloomFilterTable
+        from tpu_pattern_matching.ops.bloom import BloomFilterTable
 
-            bft = BloomFilterTable.build(table)
-            dev = bft.put()
+        bft = BloomFilterTable.from_table(table)
+        dev = bft.put()
 
-            def scan_total(data, start_t, end_t):
-                return dev.probe_total(data, start_t, end_t, halo=halo)
+        def scan_total(data, start_t, end_t):
+            return dev.probe_total(data, start_t, end_t, halo=halo)
 
-            return scan_total, halo
-        except Exception:
-            engine = "dense"  # bloom unavailable on this platform/toolchain
+        return scan_total, halo
 
     dev = DeviceTable.put(table, esc16=engine == "esc16")
     from tpu_pattern_matching.ops.match_xla import _scan_kernel

@@ -1,0 +1,419 @@
+"""Pallas q-gram bloom-filter scan engine — the TPU hot path.
+
+WHY THIS EXISTS (see BENCH_NOTES.md "measurement artifact"): XLA:TPU lowers
+``gather`` to a serialized per-element lookup (~5-13 ns/element regardless of
+table size), so the classic one-transition-per-byte DFA walk
+(``ops/match_xla.py``, the analogue of the reference's ahomatch.cl hot loop)
+is capped at ~75 MB/s/chip. The only vectorized lookup primitive Mosaic
+exposes is ``tpu.dynamic_gather`` (via ``jnp.take_along_axis`` inside a
+Pallas kernel): a 128-entry-per-lane LUT, one op per vreg. This engine
+restructures multi-pattern matching around that primitive:
+
+1. **Filter (device, Pallas)**: hash the q-byte window at every stride-s
+   position of every lane (dense VPU integer ops) and probe k independent
+   blocked bloom banks. Each bank is V "units" of 128 int32 words = 4096
+   bits; hash bits select the unit (V-way vectorized select), a one-op
+   dynamic_gather selects the word, shifts select the bit. A position
+   survives only if ALL k banks hit; the false-positive rate is the product
+   of the banks' bit densities (computed exactly at build time).
+2. **Pack (device, in-kernel)**: survivor rows are masked against lane
+   bounds and bit-packed, so the device->host result is a complete bitmap
+   32*stride times smaller than the input (no capacity cap, no overflow
+   mode), plus a popcount total fetched first (zero-match batches cost one
+   4-byte transfer, mirroring the dense engine's 2-transfer decode).
+3. **Verify (host)**: candidates expand to windows, merge per lane, and are
+   scanned by the native C++ Aho-Corasick oracle (``core/oracle_native``)
+   for exact ``(end_offset, pattern_set)`` events. False positives die
+   here; every true match is provably covered (below).
+
+Coverage guarantee: grams are inserted at offsets 0..s-1 of every pattern
+(strided mode). An occurrence of a pattern with length L >= s+q-1 spans gram
+positions g0..g0+L-q; any s consecutive integers contain a multiple of s, so
+some tested position t* (tested <=> t* % s == 0) falls in [g0, g0+s-1], and
+the input gram there equals the pattern's gram at offset t*-g0 <= s-1 —
+which is in the bloom. q = floor((Lmin+1)/2) <= s, so a gram window never
+crosses a stride group, which makes kernel tiles exactly disjoint (no halo
+inside the kernel; the per-lane stream halo is the session's business).
+The builder searches (q, stride, kbanks, v) jointly: stride trades probe
+cost per byte against bloom load (stride grams per pattern), and the score
+includes the TRUE-gram hit rate — a filter on 1-grams of a 10k-pattern set
+would pass every byte no matter how empty the bloom is.
+
+This replaces the role of ahomatch.cl:50-77 (the per-byte DFA walk) with a
+design native to the TPU's VPU: ~19 GB/s/chip measured honestly at
+k=6, V=4, stride 7 — ~250x the XLA DFA walk.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+MASK32 = 0xFFFFFFFF
+GT = 64  # stride-groups (tested rows) per tile; 64*s rows is always %8==0
+MAX_LANE_TILE = 1024  # lane-block width per kernel tile
+
+
+@dataclasses.dataclass(frozen=True)
+class BloomConfig:
+    """Static shape/hash parameters (hashable: used as a jit static arg)."""
+
+    q: int  # gram length (symbols)
+    stride: int  # tested-position stride; q <= stride
+    kbanks: int  # independent bloom banks (ALL must hit)
+    v: int  # 4096-bit units per bank
+    mix1: tuple[int, ...]  # per-symbol odd multipliers, hash 1
+    mix2: tuple[int, ...]  # per-symbol odd multipliers, hash 2
+    fold_case: bool = False  # ASCII-fold input symbols before hashing
+
+    @property
+    def bits(self) -> int:
+        return self.kbanks * self.v * 4096
+
+    @property
+    def tile_rows(self) -> int:
+        return GT * self.stride
+
+
+def _hash_fields_np(m1, m2, b, v):
+    """Host model of the device hash (uint64 arrays masked to 32 bits)."""
+    h = (m1 + b * m2) & MASK32
+    h = h ^ (h >> np.uint64(13))
+    vi = (h >> np.uint64(17)) & np.uint64(v - 1)
+    w7 = (h >> np.uint64(10)) & np.uint64(127)
+    bit = (h >> np.uint64(5)) & np.uint64(31)
+    return vi, w7, bit
+
+
+def _grams_of(symbols: Sequence[int], q: int, offsets) -> list[tuple]:
+    s = list(symbols)
+    return [tuple(s[o : o + q]) for o in offsets if o + q <= len(s)]
+
+
+@dataclasses.dataclass
+class BloomFilterTable:
+    """Host-side compiled filter: bloom words + config + diagnostics."""
+
+    words: np.ndarray  # [kbanks, v, 128] int32 (bit-packed)
+    cfg: BloomConfig
+    max_pat_len: int
+    n_grams: int
+    fp_est: float  # expected false-positive rate per tested position
+
+    @staticmethod
+    def from_table(table, **kw) -> "BloomFilterTable":
+        """Build from a compiled :class:`core.dfa.DfaTable` (byte alphabet;
+        its patterns are already case-folded when table.nocase)."""
+        if table.alphabet_size != 256:
+            raise ValueError("bloom engine requires the byte alphabet")
+        return BloomFilterTable.build(
+            [p.symbols for p in table.patterns],
+            fold_case=getattr(table, "nocase", False),
+            **kw,
+        )
+
+    @staticmethod
+    def build(
+        patterns: Sequence[Sequence[int] | bytes],
+        fp_target: float = 1e-3,
+        max_v: int = 16,
+        max_k: int = 8,
+        max_stride: int = 16,
+        seed: int = 0x5EED,
+        fold_case: bool = False,
+    ) -> "BloomFilterTable":
+        """Compile the filter, choosing (q, stride, kbanks, v) jointly.
+
+        Coverage needs grams at pattern offsets 0..stride-1 for ANY stride
+        <= Lmin-q+1; the kernel's window trick needs q <= stride. So the
+        search space is q in [1, min(6, (Lmin+1)//2)], stride in
+        [q, Lmin-q+1]: larger stride costs fewer probes per byte but loads
+        the bloom with stride grams per pattern (worse fp). Minimize
+        per-byte probe cost subject to predicted fp <= fp_target; if no
+        config meets the target (huge pattern sets), take the lowest-fp one
+        — correctness never depends on fp, only verify cost does.
+        """
+        pats = [list(p) for p in patterns]
+        if not pats:
+            raise ValueError("no patterns")
+        lmin = min(len(p) for p in pats)
+        lmax = max(len(p) for p in pats)
+        q_max = max(1, min(6, (lmin + 1) // 2))
+
+        def n_est(q, s):
+            return sum(min(s, len(p) - q + 1) for p in pats)
+
+        def candidate_rate(q, s, n, k, v):
+            # expected candidates per input byte on uniform data: true gram
+            # occurrences (the filter cannot reject a gram that IS in the
+            # set — this is what kills tiny q for large sets) + bloom fp,
+            # amortized over the stride
+            universe = 256.0**q
+            distinct = universe * -np.expm1(-n / universe)
+            true_rate = distinct / universe
+            fp = float((1.0 - np.exp(-n / (v * 4096.0))) ** k)
+            return (min(1.0, true_rate) + fp) / s
+
+        def probe_cost(q, s, k, v):
+            # element-ops per input byte: hash (2.5/symbol) + k banks of
+            # (index math + v gathers&selects), amortized over the stride
+            return (2.5 * q + k * (4 + 5 * v)) / s
+
+        best = None  # (cost, q, s, k, v) meeting fp_target
+        fallback = None  # (rate, cost, q, s, k, v) best-effort
+        for q in range(1, q_max + 1):
+            for s in range(q, min(max_stride, lmin - q + 1) + 1):
+                n = n_est(q, s)
+                for k in range(2, max_k + 1):
+                    v = 1
+                    while v <= max_v:
+                        rate = candidate_rate(q, s, n, k, v)
+                        c = probe_cost(q, s, k, v)
+                        if rate <= fp_target:
+                            if best is None or c < best[0]:
+                                best = (c, q, s, k, v)
+                            break
+                        if fallback is None or rate < fallback[0] or (
+                            rate == fallback[0] and c < fallback[1]
+                        ):
+                            fallback = (rate, c, q, s, k, v)
+                        v *= 2
+        if best is not None:
+            _, q, s, k, v = best
+        else:
+            _, _, q, s, k, v = fallback
+        stride = s
+        grams = set()
+        for p in pats:
+            grams.update(_grams_of(p, q, range(stride)))
+        n = len(grams)
+
+        rng = np.random.RandomState(seed)
+        mix1 = tuple(int(x) | 1 for x in rng.randint(1, 2**31, size=q))
+        mix2 = tuple(int(x) | 1 for x in rng.randint(1, 2**31, size=q))
+        cfg = BloomConfig(q=q, stride=stride, kbanks=k, v=v,
+                          mix1=mix1, mix2=mix2, fold_case=fold_case)
+
+        words = np.zeros((k, v, 128), np.uint32)
+        if grams:
+            g = np.asarray(sorted(grams), np.uint64).reshape(n, q)
+            m1 = np.zeros(n, np.uint64)
+            m2 = np.zeros(n, np.uint64)
+            for i in range(q):
+                m1 = (m1 + g[:, i] * np.uint64(mix1[i])) & np.uint64(MASK32)
+                m2 = (m2 + g[:, i] * np.uint64(mix2[i])) & np.uint64(MASK32)
+            for b in range(k):
+                vi, w7, bit = _hash_fields_np(m1, m2, np.uint64(b), v)
+                np.bitwise_or.at(
+                    words[b],
+                    (vi.astype(np.int64), w7.astype(np.int64)),
+                    np.uint32(1) << bit.astype(np.uint32),
+                )
+        dens = [
+            float(np.unpackbits(words[b].view(np.uint8)).mean())
+            for b in range(k)
+        ]
+        return BloomFilterTable(
+            words=words.view(np.int32),
+            cfg=cfg,
+            max_pat_len=lmax,
+            n_grams=n,
+            fp_est=float(np.prod(dens)),
+        )
+
+    def put(self, sharding=None) -> "DeviceBloom":
+        put = (
+            (lambda x: jax.device_put(x, sharding))
+            if sharding is not None
+            else jax.device_put
+        )
+        return DeviceBloom(words=put(self.words), cfg=self.cfg,
+                           max_pat_len=self.max_pat_len)
+
+
+# --------------------------------------------------------------- the kernel
+
+
+def _make_probe_kernel(cfg: BloomConfig, ct: int):
+    """Kernel body specialized for static (cfg, lane-tile width).
+
+    Per tile: hash GT stride-groups x ct lanes, probe k banks, mask rows
+    against the lane bounds, and bit-pack the GT survivor rows into GT/32
+    int32 words per lane — the device->host result is a bitmap 32*stride
+    times smaller than the input."""
+    q, s, k, v = cfg.q, cfg.stride, cfg.kbanks, cfg.v
+    words_per_tile = GT // 32
+
+    def kernel(data_ref, bounds_ref, bloom_ref, out_ref):
+        from jax.experimental import pallas as pl
+
+        d = data_ref[:].astype(jnp.int32)  # [GT*s, ct] time-major symbols
+        if cfg.fold_case:
+            d = jnp.where((d >= 65) & (d <= 90), d + 32, d)
+        resh = d.reshape(GT, s, ct)
+        m1 = jnp.zeros((GT, ct), jnp.int32)
+        m2 = jnp.zeros((GT, ct), jnp.int32)
+        for i in range(q):
+            bi = resh[:, i, :]
+            m1 = m1 + bi * jnp.int32(cfg.mix1[i])
+            m2 = m2 + bi * jnp.int32(cfg.mix2[i])
+        hit = jnp.ones((GT, ct), jnp.bool_)
+        for b in range(k):
+            h = m1 + jnp.int32(b) * m2
+            h = h ^ jax.lax.shift_right_logical(h, 13)
+            vi = jax.lax.shift_right_logical(h, 17) & (v - 1)
+            w7 = jax.lax.shift_right_logical(h, 10) & 127
+            bit = jax.lax.shift_right_logical(h, 5) & 31
+            word = None
+            for u in range(v):
+                t = jnp.broadcast_to(bloom_ref[b, u, :][None, :], (GT, 128))
+                parts = [
+                    jnp.take_along_axis(
+                        t, w7[:, lb * 128 : (lb + 1) * 128], axis=1
+                    )
+                    for lb in range(ct // 128)
+                ]
+                g = parts[0] if len(parts) == 1 else jnp.concatenate(
+                    parts, axis=1
+                )
+                word = g if word is None else jnp.where(vi == u, g, word)
+            hit = hit & (
+                (jax.lax.shift_right_logical(word, bit) & 1) == 1
+            )
+        # mask: a candidate gram must lie inside the lane's valid span
+        # (rows >= end_t - q + 1 can't start a gram of a match; empty and
+        # padding lanes have start_t == end_t)
+        i = pl.program_id(0)
+        g_iota = jax.lax.broadcasted_iota(jnp.int32, (GT, ct), 0)
+        rows = (i * GT + g_iota) * s
+        start_t = bounds_ref[0, :][None, :]
+        end_t = bounds_ref[1, :][None, :]
+        hit = hit & (rows + q <= end_t) & (end_t > start_t)
+        # bit-pack GT rows -> GT/32 words per lane
+        hi = hit.astype(jnp.int32).reshape(words_per_tile, 32, ct)
+        acc = jnp.zeros((words_per_tile, ct), jnp.int32)
+        for b in range(32):
+            acc = acc | jax.lax.shift_left(hi[:, b, :], jnp.int32(b))
+        out_ref[0] = acc
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
+def _probe_bits_jit(data_tm, bounds, words, *, cfg: BloomConfig, interpret):
+    """bits[w, c] bit b set <=> the gram starting at row ((w*32+b)*stride)
+    of lane c survives all banks and the lane mask. data_tm: [T, C]
+    time-major, T % tile_rows == 0, C % 128 == 0."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    T, C = data_tm.shape
+    tt = cfg.tile_rows
+    assert T % tt == 0, (T, tt)
+    tiles_t = T // tt
+    ct = min(C, MAX_LANE_TILE)
+    assert C % ct == 0 and ct % 128 == 0, (C, ct)
+    tiles_c = C // ct
+    wpt = GT // 32
+    bits = pl.pallas_call(
+        _make_probe_kernel(cfg, ct),
+        out_shape=jax.ShapeDtypeStruct((tiles_t, wpt, C), jnp.int32),
+        grid=(tiles_t, tiles_c),
+        compiler_params=pltpu.CompilerParams(
+            # high-v configs keep ~k*v live [GT, ct] i32 intermediates; the
+            # default 16 MB scoped-vmem cap is far below the chip's VMEM
+            vmem_limit_bytes=96 * 1024 * 1024,
+        ),
+        in_specs=[
+            pl.BlockSpec((tt, ct), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, ct), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, wpt, ct), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(data_tm, bounds, words)
+    return bits.reshape(tiles_t * wpt, C)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class BloomHits:
+    """Survivor bitmap for one batch.
+
+    ``total`` (meta[0]) is the exact survivor count; ``bits[w, c]`` bit b is
+    the gram starting at row (w*32+b)*stride of lane c. The bitmap is
+    complete — no capacity cap, no overflow mode; the host fetches it only
+    when total > 0 (two transfers per batch, like the dense engine)."""
+
+    meta: jax.Array  # [1] int32: total
+    bits: jax.Array  # [W, C] int32
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
+def _hits_jit(data, bounds, words, *, cfg, interpret):
+    """Fused pad + transpose + probe + popcount: lane-major data in."""
+    C, T = data.shape
+    tt = cfg.tile_rows
+    Tp = ((T + tt - 1) // tt) * tt
+    Cp = ((C + 127) // 128) * 128
+    data_tm = jax.lax.optimization_barrier(
+        jnp.pad(data, ((0, Cp - C), (0, Tp - T))).T
+    )
+    bounds = jnp.pad(bounds, ((0, 0), (0, Cp - C)))  # pad lanes: start==end
+    bits = _probe_bits_jit(data_tm, bounds, words, cfg=cfg,
+                           interpret=interpret)
+    total = jnp.sum(jax.lax.population_count(bits))
+    return total.reshape(1), bits
+
+
+@dataclasses.dataclass
+class DeviceBloom:
+    words: jax.Array  # [k, v, 128] int32
+    cfg: BloomConfig
+    max_pat_len: int
+
+    @staticmethod
+    def _interpret() -> bool:
+        # Mosaic needs a real TPU; interpret mode keeps the engine testable
+        # on the CPU mesh (slow, small shapes only)
+        return jax.default_backend() == "cpu"
+
+    def hits(self, data, bounds) -> BloomHits:
+        """data: [C, T] lane-major symbols; bounds: [2, C] start_t/end_t."""
+        meta, bits = _hits_jit(
+            data, bounds, self.words, cfg=self.cfg,
+            interpret=self._interpret(),
+        )
+        return BloomHits(meta=meta, bits=bits)
+
+    def probe_total(self, data, start_t, end_t, halo: int = 0):
+        """Benchmark hook: total survivors (forces the full probe)."""
+        meta, _ = _hits_jit(
+            data,
+            jnp.stack([start_t, end_t]),
+            self.words,
+            cfg=self.cfg,
+            interpret=self._interpret(),
+        )
+        return meta[0]
+
+
+def unpack_hit_rows(bits: np.ndarray, stride: int):
+    """Host-side bitmap expansion: [W, C] int32 -> (rows, lanes) arrays of
+    candidate gram start rows (already in row units, halo included)."""
+    u = bits.view(np.uint32) if bits.dtype == np.int32 else bits
+    expanded = (
+        (u[:, None, :] >> np.arange(32, dtype=np.uint32)[None, :, None]) & 1
+    ).astype(bool)
+    W, _, C = expanded.shape
+    g, lanes = np.nonzero(expanded.reshape(W * 32, C))
+    return (g * stride).astype(np.int64), lanes

@@ -61,21 +61,52 @@ class MatchSession:
         halo: int | None = None,
         sharding=None,
         sort: bool = False,
-        engine: str = "dense",
+        engine: str = "auto",
+        bloom_opts: dict | None = None,
     ):
-        """``engine``: "dense" (default) walks the signed table every
-        block; "esc16" adds an escape-encoded int16 companion table whose
-        blocks skip all match bookkeeping unless a lane escapes. Honest
-        device timing (BENCH_NOTES.md "measurement artifact") shows XLA
-        lowers both walks to serialized per-element lookups, so esc16's
-        narrower gathers do NOT win on real TPU hardware — it is kept as
-        an option and for the CPU test mesh."""
+        """``engine`` selects the device scan:
+
+        - "bloom" — Pallas q-gram bloom filter + exact host verify via the
+          native oracle (ops/bloom.py). The TPU hot path: ~250x the DFA
+          walk (BENCH_NOTES.md). Byte alphabet only.
+        - "dense" — XLA signed-table DFA walk, exact on device.
+        - "esc16" — dense + escape-encoded int16 fast path (opt-in; the
+          narrower gathers don't pay on real TPUs, where XLA serializes
+          both walks per element).
+        - "auto" (default) — bloom on byte-alphabet tables, dense otherwise.
+        """
+        import jax as _jax
+
         from tpu_pattern_matching.utils.common import pad_halo
 
-        if engine not in ("esc16", "dense"):
+        if engine == "auto":
+            engine = "bloom" if table.alphabet_size == 256 else "dense"
+        if engine not in ("esc16", "dense", "bloom"):
             raise ValueError(f"unknown engine {engine!r}")
+        self.engine = engine
         self.table = table
-        self.dev = DeviceTable.put(table, sharding, esc16=engine == "esc16")
+        self._bloom = None
+        self._verifier = None
+        if engine == "bloom":
+            from tpu_pattern_matching.ops.bloom import BloomFilterTable
+            from tpu_pattern_matching.runtime.verify import Verifier
+
+            bft = BloomFilterTable.from_table(table, **(bloom_opts or {}))
+            self.bloom_table = bft
+            self._bloom = bft.put(sharding)
+            self._verifier = Verifier(
+                [p.symbols for p in table.patterns],
+                alphabet_size=table.alphabet_size,
+                q=bft.cfg.q,
+                max_pat_len=table.max_pat_len,
+                fold_case=bft.cfg.fold_case,
+                dense_table=table,  # fast native window walker
+            )
+            self.dev = None  # the big DFA table never ships to the device
+        else:
+            self.dev = DeviceTable.put(
+                table, sharding, esc16=engine == "esc16"
+            )
         base_halo = (table.max_pat_len - 1) if halo is None else halo
         # pad so the scan engine's 8-wide unroll divides the tile length
         self.halo = pad_halo(base_halo, chunk_len)
@@ -91,8 +122,10 @@ class MatchSession:
     def new_buffer(self) -> DataBuffer:
         return DataBuffer(self.max_chunks, self.chunk_len, self.halo)
 
-    def scan(self, batch: HostBatch) -> CompactMatches:
-        """Device scan + compaction (+ sort) of one batch — ONE dispatch."""
+    def scan(self, batch: HostBatch):
+        """Device scan + compaction (+ sort) of one batch — ONE dispatch.
+
+        Returns CompactMatches (dense/esc16) or BloomHits (bloom)."""
         import numpy as _np
 
         from tpu_pattern_matching.ops.compact import scan_and_compact
@@ -103,6 +136,8 @@ class MatchSession:
 
             data = jax.device_put(data, self.data_sharding)
         bounds = _np.stack([batch.start_t, batch.end_t])
+        if self._bloom is not None:
+            return self._bloom.hits(data, bounds)
         return scan_and_compact(
             self.dev,
             data,
@@ -113,13 +148,17 @@ class MatchSession:
             chunk_len=self.chunk_len,
         )
 
-    def decode(self, batch: HostBatch, comp: CompactMatches) -> BatchMatches:
+    def decode(self, batch: HostBatch, comp) -> BatchMatches:
         """Pull compacted matches to host and expand match groups.
 
         Exactly two device-to-host transfers per batch (meta, then the
         packed tuple block only when matches exist) — per-field pulls are
         latency-bound on remote-attached devices.
         """
+        from tpu_pattern_matching.ops.bloom import BloomHits
+
+        if isinstance(comp, BloomHits):
+            return self._decode_bloom(batch, comp)
         meta = np.asarray(comp.meta)
         total, reported = int(meta[0]), int(meta[1])
         if reported:
@@ -151,6 +190,45 @@ class MatchSession:
             total=total,
             reported=reported,
             overflowed=total > reported,
+        )
+
+    def _decode_bloom(self, batch: HostBatch, comp) -> BatchMatches:
+        """Verify device candidates exactly on the host (runtime/verify.py).
+
+        Two transfers max: the popcount total (4 bytes), then the complete
+        survivor bitmap only when total > 0 — there is no capacity cap."""
+        from tpu_pattern_matching.ops.bloom import unpack_hit_rows
+
+        total = int(np.asarray(comp.meta)[0])
+        by_lane: dict[int, list[int]] = {}
+        if total:
+            rows, lanes = unpack_hit_rows(
+                np.asarray(comp.bits), self.bloom_table.cfg.stride
+            )
+            for ln, row in zip(lanes.tolist(), rows.tolist()):
+                by_lane.setdefault(ln, []).append(row)
+        grouped: dict[tuple[int, int], set[int]] = {}
+        for ln, e, pid in self._verifier.verify_batch(
+            batch.data, by_lane, batch.halo, batch.start_t, batch.end_t
+        ):
+            grouped.setdefault((ln, e), set()).add(pid)
+        keys = sorted(grouped.keys()) if self.sort else list(grouped.keys())
+        events = []
+        for ln, e in keys:
+            pids = sorted(grouped[(ln, e)])
+            events.append(
+                MatchEvent(
+                    file_id=int(batch.file_ids[ln]),
+                    end_offset=int(batch.base_off[ln]) + e - batch.halo,
+                    pattern_indices=pids,
+                    rep_index=pids[0],
+                )
+            )
+        return BatchMatches(
+            events=events,
+            total=len(events),
+            reported=len(events),
+            overflowed=False,
         )
 
     def scan_and_decode(self, batch: HostBatch) -> BatchMatches:

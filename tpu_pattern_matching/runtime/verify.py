@@ -1,0 +1,201 @@
+"""Host verification stage for the bloom filter engine.
+
+Expands device candidate grams (lane, row) into merged windows, scans each
+window with an exact Aho-Corasick oracle (the native C++ one when buildable,
+``core/oracle_native``; pure-Python otherwise), and emits exact
+``(end_row, pattern_index_set)`` events. False positives from the bloom die
+here; window geometry guarantees no true match is missed (ops/bloom.py
+module docstring, coverage note).
+
+This stage plays the role of the reference's host-side result walk
+(``databuf_process_results``, databuf.c:747-782) — but where the reference
+trusts the device kernel's exact events, the bloom engine's device pass is a
+filter and THIS is the exactness boundary.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+
+
+def _fold_case(arr: np.ndarray) -> np.ndarray:
+    out = arr.copy()
+    mask = (out >= 65) & (out <= 90)
+    out[mask] += 32
+    return out
+
+
+class Verifier:
+    """Exact window verifier over a fixed pattern set."""
+
+    def __init__(
+        self,
+        patterns: Sequence[Sequence[int]],
+        alphabet_size: int = 256,
+        q: int = 1,
+        max_pat_len: int = 1,
+        fold_case: bool = False,
+        dense_table=None,  # DfaTable: enables the fast dense window walker
+    ):
+        self.q = q
+        self.lmax = max_pat_len
+        self.fold_case = fold_case
+        self._dense = None
+        self._oracle = None
+        if dense_table is not None:
+            try:
+                from tpu_pattern_matching.core import oracle_native
+
+                oracle_native._lib()  # raises if g++/so unavailable
+                self._dense = (
+                    np.ascontiguousarray(
+                        dense_table.goto_signed, np.int32
+                    ).reshape(-1),
+                    dense_table.alphabet_size,
+                    dense_table.state_gid,
+                    dense_table.groups_as_lists(),
+                )
+            except Exception:
+                self._dense = None
+        try:
+            from tpu_pattern_matching.core.oracle_native import NativeOracle
+
+            self._oracle = NativeOracle(patterns, alphabet=alphabet_size)
+        except Exception:
+            from tpu_pattern_matching.core.oracle import PyAhoCorasick
+
+            self._py = PyAhoCorasick(patterns)
+
+    def _scan_window(self, window: np.ndarray) -> list[tuple[int, int]]:
+        if self.fold_case:
+            window = _fold_case(window)
+        if self._oracle is not None:
+            self._oracle.reset()
+            off, pid, total = self._oracle.match(bytes(window))
+            if total > len(off):  # enormous window: re-run with room
+                self._oracle.reset()
+                off, pid, total = self._oracle.match(
+                    bytes(window), cap=int(total)
+                )
+            return list(zip(off.tolist(), pid.tolist()))
+        events, _ = self._py.match(window.tolist())
+        return events
+
+    def windows_for(
+        self, rows: Sequence[int], start_row: int, end_row: int
+    ) -> list[tuple[int, int]]:
+        """Merge candidate gram rows into disjoint verify windows.
+
+        A match containing the gram at row r spans at most
+        [r - (lmax - q), r + lmax); overlapping windows merge, so every
+        match end falls in exactly one window (no duplicate reports).
+        Windows never reach below ``start_row``: rows before it are
+        zero-fill, not stream content (a pattern must not match "into" the
+        missing history — the bloom analogue of the dense engine's start_t
+        masking)."""
+        pad_l = self.lmax - self.q
+        out: list[tuple[int, int]] = []
+        for r in sorted(set(int(x) for x in rows)):
+            w0 = max(start_row, r - pad_l)
+            w1 = min(end_row, r + self.lmax)
+            if w1 <= w0:
+                continue
+            if out and w0 <= out[-1][1]:
+                out[-1] = (out[-1][0], max(out[-1][1], w1))
+            else:
+                out.append((w0, w1))
+        return out
+
+    def verify_lane(
+        self,
+        lane_data: np.ndarray,  # [T] symbols (halo prefix included)
+        rows: Sequence[int],
+        halo: int,  # first row of this lane's own span
+        start_row: int,  # first VALID row (>= 0; > 0 when history short)
+        end_row: int,  # one past the last valid row
+    ) -> list[tuple[int, int]]:
+        """Exact (end_row, pattern_index) events attributed to this lane."""
+        events: list[tuple[int, int]] = []
+        for w0, w1 in self.windows_for(rows, start_row, end_row):
+            for e_rel, pid in self._scan_window(lane_data[w0:w1]):
+                e = w0 + int(e_rel)
+                if halo <= e < end_row:
+                    events.append((e, int(pid)))
+        return events
+
+    def verify_batch(
+        self,
+        data: np.ndarray,  # [C, T] uint8 lane-major batch
+        by_lane: dict[int, list[int]],  # candidate gram rows per lane
+        halo: int,
+        start_t: np.ndarray,  # [C]
+        end_t: np.ndarray,  # [C]
+    ) -> list[tuple[int, int, int]]:
+        """All exact (lane, end_row, pattern_index) events for one batch.
+
+        Builds merged windows for every lane, then verifies them in ONE
+        native call (oracle_match_windows) — the per-window Python loop is
+        the fallback when the C++ oracle could not be built."""
+        lanes: list[int] = []
+        w0s: list[int] = []
+        w1s: list[int] = []
+        khis: list[int] = []
+        for ln in sorted(by_lane):
+            for w0, w1 in self.windows_for(
+                by_lane[ln], int(start_t[ln]), int(end_t[ln])
+            ):
+                lanes.append(ln)
+                w0s.append(w0)
+                w1s.append(w1)
+                khis.append(int(end_t[ln]))
+        if not lanes:
+            return []
+        if self._dense is not None and data.dtype == np.uint8:
+            from tpu_pattern_matching.core.oracle_native import (
+                dense_match_windows,
+            )
+
+            table_flat, alphabet, state_gid, groups = self._dense
+            out_lane, out_end, out_state = dense_match_windows(
+                table_flat,
+                alphabet,
+                data,
+                np.asarray(lanes, np.int32),
+                np.asarray(w0s, np.int64),
+                np.asarray(w1s, np.int64),
+                np.full(len(lanes), halo, np.int64),
+                np.asarray(khis, np.int64),
+            )
+            events: list[tuple[int, int, int]] = []
+            for ln, e, st in zip(
+                out_lane.tolist(), out_end.tolist(), out_state.tolist()
+            ):
+                for pid in groups[int(state_gid[st])]:
+                    events.append((ln, e, pid))
+            return events
+        if self._oracle is not None and data.dtype == np.uint8:
+            xlat = None
+            if self.fold_case:
+                xlat = np.arange(256, dtype=np.uint8)
+                xlat[65:91] += 32
+            out_lane, out_end, out_pid = self._oracle.match_windows(
+                data,
+                np.asarray(lanes, np.int32),
+                np.asarray(w0s, np.int64),
+                np.asarray(w1s, np.int64),
+                np.full(len(lanes), halo, np.int64),
+                np.asarray(khis, np.int64),
+                xlat=xlat,
+            )
+            return list(
+                zip(out_lane.tolist(), out_end.tolist(), out_pid.tolist())
+            )
+        events: list[tuple[int, int, int]] = []
+        for ln, w0, w1, khi in zip(lanes, w0s, w1s, khis):
+            for e_rel, pid in self._scan_window(data[ln, w0:w1]):
+                e = w0 + int(e_rel)
+                if halo <= e < khi:
+                    events.append((ln, e, int(pid)))
+        return events

@@ -96,3 +96,49 @@ def test_sharded_equals_unsharded(mesh_ctx):
             for pid in groups[table.state_gid[st]]:
                 got.append((off, pid))
     assert sorted(got) == expect
+
+
+def test_sharded_bloom_equals_unsharded():
+    # the flagship bloom engine under shard_map: survivor bitmap and total
+    # must be identical to the single-device probe
+    import jax
+    import numpy as np
+
+    from tpu_pattern_matching.core.dfa import compile_patterns
+    from tpu_pattern_matching.ops.bloom import BloomFilterTable, _hits_jit
+    from tpu_pattern_matching.parallel.mesh import (
+        MeshContext,
+        make_mesh,
+        make_sharded_bloom_step,
+    )
+
+    rng = np.random.RandomState(3)
+    pats = [bytes(rng.randint(0, 256, size=8).astype(np.uint8))
+            for _ in range(16)]
+    table = compile_patterns(pats)
+    bft = BloomFilterTable.from_table(table)
+
+    n_dev = 8
+    lanes = 128 * n_dev  # multiple of the 128-lane tile per shard
+    T = 256
+    data = rng.randint(0, 256, size=(lanes, T)).astype(np.uint8)
+    for ln in (0, 200, 1023):  # plant occurrences
+        data[ln, 100:108] = np.frombuffer(pats[ln % 16], np.uint8)
+    bounds = np.stack([np.zeros(lanes, np.int32),
+                       np.full(lanes, T, np.int32)])
+
+    total1, bits1 = _hits_jit(
+        jax.device_put(data), jax.device_put(bounds),
+        jax.device_put(bft.words), cfg=bft.cfg, interpret=True,
+    )
+
+    ctx = MeshContext(make_mesh(jax.devices()[:n_dev]))
+    bloom = bft.put(ctx.replicated)
+    step = make_sharded_bloom_step(ctx, bloom)
+    totalN, bitsN = step(
+        bloom.words,
+        jax.device_put(data, ctx.lane_sharded),
+        jax.device_put(bounds, ctx.lane_sharded2d),
+    )
+    assert int(totalN[0]) == int(total1[0]) > 0
+    np.testing.assert_array_equal(np.asarray(bitsN), np.asarray(bits1))

@@ -66,6 +66,11 @@ class MeshContext:
         return NamedSharding(self.mesh, P(self.axis))
 
     @property
+    def lane_sharded2d(self) -> NamedSharding:
+        # [2, C] bounds arrays: shard the lane (second) dim
+        return NamedSharding(self.mesh, P(None, self.axis))
+
+    @property
     def num_devices(self) -> int:
         return self.mesh.size
 
@@ -121,3 +126,37 @@ def make_sharded_scan_step(
         return res.counts, res.slot_state, res.slot_pos, gcounts
 
     return step
+
+
+def make_sharded_bloom_step(ctx: MeshContext, bloom):
+    """Build the jitted multi-chip bloom-filter step (the flagship engine).
+
+    Pallas kernels don't auto-partition under jit shardings, so the probe
+    runs under ``shard_map``: every device scans its lane shard against the
+    replicated bloom words (the reference's replicated-DFA-per-worker
+    layout, as a sharding); the survivor total is ``psum``-reduced across
+    the mesh while the bitmap stays lane-sharded for local host decode.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    from tpu_pattern_matching.ops.bloom import DeviceBloom, _hits_jit
+
+    cfg = bloom.cfg
+    axis = ctx.axis
+
+    def local_step(words, data, bounds):
+        total, bits = _hits_jit(
+            data, bounds, words, cfg=cfg,
+            interpret=DeviceBloom._interpret(),
+        )
+        return jax.lax.psum(total, axis), bits
+
+    return jax.jit(
+        shard_map(
+            local_step,
+            mesh=ctx.mesh,
+            in_specs=(P(), P(axis), P(None, axis)),
+            out_specs=(P(), P(None, axis)),
+            check_rep=False,
+        )
+    )

@@ -11,9 +11,9 @@ def test_entry_compiles_and_runs():
     fn, args = graft.entry()
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
-    counts, slot_state, slot_pos = out
-    assert counts.shape == (16,)
-    assert slot_state.shape == (16, 16)
+    total, bits = out  # flagship bloom probe: survivor total + bitmap
+    assert total.shape == (1,)
+    assert bits.ndim == 2 and bits.shape[1] >= 16
 
 
 def test_dryrun_multichip():

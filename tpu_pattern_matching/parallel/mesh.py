@@ -137,7 +137,10 @@ def make_sharded_bloom_step(ctx: MeshContext, bloom):
     layout, as a sharding); the survivor total is ``psum``-reduced across
     the mesh while the bitmap stays lane-sharded for local host decode.
     """
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
 
     from tpu_pattern_matching.ops.bloom import DeviceBloom, _hits_jit
 
@@ -157,6 +160,6 @@ def make_sharded_bloom_step(ctx: MeshContext, bloom):
             mesh=ctx.mesh,
             in_specs=(P(), P(axis), P(None, axis)),
             out_specs=(P(), P(None, axis)),
-            check_rep=False,
+            check_vma=False,  # pallas_call outputs carry no vma metadata
         )
     )

@@ -70,6 +70,11 @@ class BloomConfig:
     mix1: tuple[int, ...]  # per-symbol odd multipliers, hash 1
     mix2: tuple[int, ...]  # per-symbol odd multipliers, hash 2
     fold_case: bool = False  # ASCII-fold input symbols before hashing
+    gt: int = GT  # stride-groups (tested rows) per tile; multiple of 32
+    ct: int = MAX_LANE_TILE  # lane-tile width; multiple of 128
+    blockwise: bool = False  # probe one 128-lane block at a time (bounded
+    # VMEM live set) vs full-width ops (larger vector ops; measured better
+    # for the large-k*v configs under interleaved A/B, exp_bloom_ab.py)
 
     @property
     def bits(self) -> int:
@@ -77,7 +82,7 @@ class BloomConfig:
 
     @property
     def tile_rows(self) -> int:
-        return GT * self.stride
+        return self.gt * self.stride
 
 
 def _hash_fields_np(m1, m2, b, v):
@@ -242,14 +247,15 @@ class BloomFilterTable:
 def _make_probe_kernel(cfg: BloomConfig, ct: int):
     """Kernel body specialized for static (cfg, lane-tile width).
 
-    Per tile: hash GT stride-groups x ct lanes, probe k banks, mask rows
-    against the lane bounds, and bit-pack the GT survivor rows into GT/32
+    Per tile: hash gt stride-groups x ct lanes, probe k banks, mask rows
+    against the lane bounds, and bit-pack the gt survivor rows into gt/32
     int32 words per lane — the device->host result is a bitmap 32*stride
     times smaller than the input."""
     q, s, k, v = cfg.q, cfg.stride, cfg.kbanks, cfg.v
+    GT = cfg.gt
     words_per_tile = GT // 32
 
-    def kernel(data_ref, bounds_ref, bloom_ref, out_ref):
+    def kernel_fullwidth(data_ref, bounds_ref, bloom_ref, out_ref):
         from jax.experimental import pallas as pl
 
         d = data_ref[:].astype(jnp.int32)  # [GT*s, ct] time-major symbols
@@ -258,10 +264,10 @@ def _make_probe_kernel(cfg: BloomConfig, ct: int):
         resh = d.reshape(GT, s, ct)
         m1 = jnp.zeros((GT, ct), jnp.int32)
         m2 = jnp.zeros((GT, ct), jnp.int32)
-        for i in range(q):
-            bi = resh[:, i, :]
-            m1 = m1 + bi * jnp.int32(cfg.mix1[i])
-            m2 = m2 + bi * jnp.int32(cfg.mix2[i])
+        for qi in range(q):
+            bi = resh[:, qi, :]
+            m1 = m1 + bi * jnp.int32(cfg.mix1[qi])
+            m2 = m2 + bi * jnp.int32(cfg.mix2[qi])
         hit = jnp.ones((GT, ct), jnp.bool_)
         for b in range(k):
             h = m1 + jnp.int32(b) * m2
@@ -285,23 +291,74 @@ def _make_probe_kernel(cfg: BloomConfig, ct: int):
             hit = hit & (
                 (jax.lax.shift_right_logical(word, bit) & 1) == 1
             )
-        # mask: a candidate gram must lie inside the lane's valid span
-        # (rows >= end_t - q + 1 can't start a gram of a match; empty and
-        # padding lanes have start_t == end_t)
         i = pl.program_id(0)
         g_iota = jax.lax.broadcasted_iota(jnp.int32, (GT, ct), 0)
         rows = (i * GT + g_iota) * s
         start_t = bounds_ref[0, :][None, :]
         end_t = bounds_ref[1, :][None, :]
         hit = hit & (rows + q <= end_t) & (end_t > start_t)
-        # bit-pack GT rows -> GT/32 words per lane
         hi = hit.astype(jnp.int32).reshape(words_per_tile, 32, ct)
         acc = jnp.zeros((words_per_tile, ct), jnp.int32)
         for b in range(32):
             acc = acc | jax.lax.shift_left(hi[:, b, :], jnp.int32(b))
         out_ref[0] = acc
 
-    return kernel
+    def kernel(data_ref, bounds_ref, bloom_ref, out_ref):
+        from jax.experimental import pallas as pl
+
+        # Process one 128-lane block at a time: Mosaic hoists the k*v unit
+        # gathers (they're independent of the select chain), so full-width
+        # [GT, ct] intermediates blow the VMEM live set at k*v >= ~96 and
+        # throughput collapses ~10x (measured). [GT, 128] granularity keeps
+        # the live set bounded regardless of k*v.
+        i = pl.program_id(0)
+        for lb in range(ct // 128):
+            sl = slice(lb * 128, (lb + 1) * 128)
+            d = data_ref[:, sl].astype(jnp.int32)  # [GT*s, 128]
+            if cfg.fold_case:
+                d = jnp.where((d >= 65) & (d <= 90), d + 32, d)
+            resh = d.reshape(GT, s, 128)
+            m1 = jnp.zeros((GT, 128), jnp.int32)
+            m2 = jnp.zeros((GT, 128), jnp.int32)
+            for qi in range(q):
+                bi = resh[:, qi, :]
+                m1 = m1 + bi * jnp.int32(cfg.mix1[qi])
+                m2 = m2 + bi * jnp.int32(cfg.mix2[qi])
+            hit = jnp.ones((GT, 128), jnp.bool_)
+            for b in range(k):
+                h = m1 + jnp.int32(b) * m2
+                h = h ^ jax.lax.shift_right_logical(h, 13)
+                vi = jax.lax.shift_right_logical(h, 17) & (v - 1)
+                w7 = jax.lax.shift_right_logical(h, 10) & 127
+                bit = jax.lax.shift_right_logical(h, 5) & 31
+                word = None
+                for u in range(v):
+                    t = jnp.broadcast_to(
+                        bloom_ref[b, u, :][None, :], (GT, 128)
+                    )
+                    g = jnp.take_along_axis(t, w7, axis=1)
+                    word = g if word is None else jnp.where(
+                        vi == u, g, word
+                    )
+                hit = hit & (
+                    (jax.lax.shift_right_logical(word, bit) & 1) == 1
+                )
+            # mask: a candidate gram must lie inside the lane's valid span
+            # (rows >= end_t - q + 1 can't start a gram of a match; empty
+            # and padding lanes have start_t == end_t)
+            g_iota = jax.lax.broadcasted_iota(jnp.int32, (GT, 128), 0)
+            rows = (i * GT + g_iota) * s
+            start_t = bounds_ref[0, sl][None, :]
+            end_t = bounds_ref[1, sl][None, :]
+            hit = hit & (rows + q <= end_t) & (end_t > start_t)
+            # bit-pack GT rows -> GT/32 words per lane
+            hi = hit.astype(jnp.int32).reshape(words_per_tile, 32, 128)
+            acc = jnp.zeros((words_per_tile, 128), jnp.int32)
+            for b in range(32):
+                acc = acc | jax.lax.shift_left(hi[:, b, :], jnp.int32(b))
+            out_ref[0, :, sl] = acc
+
+    return kernel if cfg.blockwise else kernel_fullwidth
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
@@ -313,10 +370,11 @@ def _probe_bits_jit(data_tm, bounds, words, *, cfg: BloomConfig, interpret):
     from jax.experimental.pallas import tpu as pltpu
 
     T, C = data_tm.shape
+    GT = cfg.gt
     tt = cfg.tile_rows
     assert T % tt == 0, (T, tt)
     tiles_t = T // tt
-    ct = min(C, MAX_LANE_TILE)
+    ct = min(C, cfg.ct)
     assert C % ct == 0 and ct % 128 == 0, (C, ct)
     tiles_c = C // ct
     wpt = GT // 32

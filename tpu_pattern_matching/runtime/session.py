@@ -240,15 +240,25 @@ class MatchSession:
     # ----------------------------------------------------------- high level
 
     def scan_stream(
-        self, fobj, file_id: int = 0, text_mode: bool = False
+        self,
+        fobj,
+        file_id: int = 0,
+        text_mode: bool = False,
+        depth: int = 4,
     ) -> Iterator[BatchMatches]:
-        """Scan one stream batch-by-batch (continuity handled via halos)."""
-        # two alternating buffers + depth-1 dispatch pipeline: fill and scan
-        # batch k+1 while batch k's results come back (the reference's -w
-        # worker overlap, SURVEY 2.5 pipeline parallelism)
-        bufs = [self.new_buffer(), self.new_buffer()]
+        """Scan one stream batch-by-batch (continuity handled via halos).
+
+        ``depth`` batches are kept in flight before the first decode forces
+        a device sync: rotating buffers dispatch batch k+depth while batch
+        k's results come back (the reference's -w worker overlap, SURVEY
+        2.5 pipeline parallelism; deeper than 2 matters on remote-attached
+        devices where each decode costs a full roundtrip)."""
+        from collections import deque
+
+        depth = max(1, depth)
+        bufs = [self.new_buffer() for _ in range(depth + 1)]
         cur = 0
-        pending: tuple[HostBatch, CompactMatches] | None = None
+        pending: deque[tuple[HostBatch, object]] = deque()
         stream = StreamState(file_id=file_id)
         while True:
             buf = bufs[cur]
@@ -259,16 +269,15 @@ class MatchSession:
             eof = rd == 0
             if buf.chunks and (code == -1 or eof):
                 batch = buf.to_batch()
-                comp = self.scan(batch)  # async dispatch
-                if pending is not None:
-                    yield self.decode(*pending)
-                pending = (batch, comp)
-                cur ^= 1
+                pending.append((batch, self.scan(batch)))  # async dispatch
+                if len(pending) > depth:
+                    yield self.decode(*pending.popleft())
+                cur = (cur + 1) % len(bufs)
                 bufs[cur].reset()
             if eof:
                 break
-        if pending is not None:
-            yield self.decode(*pending)
+        while pending:
+            yield self.decode(*pending.popleft())
 
     def find(
         self, data: bytes, text_mode: bool = False

@@ -194,6 +194,37 @@ def config4(data_dir: str) -> None:
     )
 
 
+def config6(data_dir: str) -> None:
+    """Data-path-only baseline: feeder + batch assembly WITHOUT the device
+    scan — the reference's _EMPTY no-op kernel role
+    (AC_ushorts/ocl_worker.c:36-42): isolates host feed/staging overhead
+    from matching."""
+    from tpu_pattern_matching.runtime.feeder import Feeder
+
+    files = [
+        _random_file(os.path.join(data_dir, f"32MB.{i}.bin"), 32, seed=i)
+        for i in (1, 2)
+    ]
+    feeder = Feeder(
+        files, n_workers=2, max_chunks=2048, chunk_len=4096, halo=16
+    )
+    t0 = time.perf_counter()
+    feeder.start()
+    total_bytes = 0
+    rounds = 0
+    for item in feeder:
+        total_bytes += item.bytes  # batches assembled, never dispatched
+        rounds += 1
+    dt = time.perf_counter() - t0
+    emit(
+        "6_datapath_only_empty_kernel",
+        bytes=total_bytes,
+        wall_s=round(dt, 3),
+        bytes_per_s=total_bytes / dt,
+        rounds=rounds,
+    )
+
+
 def config5() -> None:
     """Sentiment psum workload: lanes sharded across all devices."""
     import io
@@ -250,17 +281,19 @@ def config5() -> None:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--config", type=int, default=0, help="1-5, 0=all")
+    ap.add_argument("--config", type=int, default=0,
+                    help="1-6, 0=all (6 = data-path-only _EMPTY baseline)")
     ap.add_argument("--data-dir", default="/tmp/tpm_bench_data")
     args = ap.parse_args()
     os.makedirs(args.data_dir, exist_ok=True)
-    todo = [args.config] if args.config else [1, 2, 3, 4, 5]
+    todo = [args.config] if args.config else [1, 2, 3, 4, 5, 6]
     runners = {
         1: config1,
         2: lambda: config2(args.data_dir),
         3: lambda: config3(args.data_dir),
         4: lambda: config4(args.data_dir),
         5: config5,
+        6: lambda: config6(args.data_dir),
     }
     for c in todo:
         runners[c]()

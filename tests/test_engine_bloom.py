@@ -181,3 +181,14 @@ def test_long_pattern_exceeds_chunk():
     data = b"z" * 10 + pat + b"y" * 20 + pat
     sess = bloom_session(pats, max_chunks=4, chunk_len=16)
     assert sess.find(data) == oracle(pats, data)
+
+
+def test_bloom_table_save_load(tmp_path):
+    bft = BloomFilterTable.build([b"alpha_bravo!", b"charlie_echo"])
+    p = str(tmp_path / "bloom.npz")
+    bft.save(p)
+    back = BloomFilterTable.load(p)
+    assert back.cfg == bft.cfg
+    np.testing.assert_array_equal(back.words, bft.words)
+    assert back.max_pat_len == bft.max_pat_len
+    assert back.n_grams == bft.n_grams

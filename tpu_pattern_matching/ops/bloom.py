@@ -240,6 +240,44 @@ class BloomFilterTable:
         return DeviceBloom(words=put(self.words), cfg=self.cfg,
                            max_pat_len=self.max_pat_len)
 
+    # -- serialization (compiled-filter dump, like DfaTable.save/load) ------
+
+    def save(self, path: str) -> None:
+        np.savez_compressed(
+            path,
+            words=self.words,
+            cfg=np.array(
+                [self.cfg.q, self.cfg.stride, self.cfg.kbanks, self.cfg.v,
+                 int(self.cfg.fold_case), self.cfg.gt, self.cfg.ct,
+                 int(self.cfg.blockwise)],
+                dtype=np.int64,
+            ),
+            mix1=np.asarray(self.cfg.mix1, np.int64),
+            mix2=np.asarray(self.cfg.mix2, np.int64),
+            max_pat_len=np.int64(self.max_pat_len),
+            n_grams=np.int64(self.n_grams),
+            fp_est=np.float64(self.fp_est),
+        )
+
+    @staticmethod
+    def load(path: str) -> "BloomFilterTable":
+        z = np.load(path)
+        c = z["cfg"]
+        cfg = BloomConfig(
+            q=int(c[0]), stride=int(c[1]), kbanks=int(c[2]), v=int(c[3]),
+            mix1=tuple(int(x) for x in z["mix1"]),
+            mix2=tuple(int(x) for x in z["mix2"]),
+            fold_case=bool(c[4]), gt=int(c[5]), ct=int(c[6]),
+            blockwise=bool(c[7]),
+        )
+        return BloomFilterTable(
+            words=z["words"],
+            cfg=cfg,
+            max_pat_len=int(z["max_pat_len"]),
+            n_grams=int(z["n_grams"]),
+            fp_est=float(z["fp_est"]),
+        )
+
 
 # --------------------------------------------------------------- the kernel
 

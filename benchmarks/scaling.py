@@ -29,6 +29,7 @@ def main() -> None:
     ap.add_argument("--lanes-per-device", type=int, default=256)
     ap.add_argument("--chunk-len", type=int, default=1024)
     ap.add_argument("--patterns", type=int, default=1000)
+    ap.add_argument("--engine", default="bloom", choices=["bloom", "dense"])
     args = ap.parse_args()
 
     if args.platform == "cpu":
@@ -43,10 +44,12 @@ def main() -> None:
         import jax
 
     from tpu_pattern_matching.core.dfa import compile_patterns
+    from tpu_pattern_matching.ops.bloom import BloomFilterTable
     from tpu_pattern_matching.ops.table import DeviceTable
     from tpu_pattern_matching.parallel.mesh import (
         MeshContext,
         make_mesh,
+        make_sharded_bloom_step,
         make_sharded_scan_step,
     )
     from tpu_pattern_matching.utils.common import pad_halo
@@ -68,17 +71,29 @@ def main() -> None:
         start_t = np.full(C, halo, np.int32)
         end_t = np.full(C, halo + B, np.int32)
         ctx = MeshContext(make_mesh(jax.devices()[:n]))
-        dev = DeviceTable.put(table, ctx.replicated)
-        step = make_sharded_scan_step(
-            ctx, dev, halo=halo, max_results=16, num_groups=table.num_groups
-        )
-        dsh = jax.device_put(data, ctx.lane_sharded)
-        out = step(dev.table_flat, dev.state_gid, dsh, start_t, end_t)
-        jax.block_until_ready(out)
+        if args.engine == "bloom":
+            bft = BloomFilterTable.from_table(table)
+            bloom = bft.put(ctx.replicated)
+            bstep = make_sharded_bloom_step(ctx, bloom)
+            dsh = jax.device_put(data, ctx.lane_sharded)
+            bsh = jax.device_put(
+                np.stack([start_t, end_t]), ctx.lane_sharded2d
+            )
+            run = lambda: bstep(bloom.words, dsh, bsh)
+        else:
+            dev = DeviceTable.put(table, ctx.replicated)
+            step = make_sharded_scan_step(
+                ctx, dev, halo=halo, max_results=16,
+                num_groups=table.num_groups,
+            )
+            dsh = jax.device_put(data, ctx.lane_sharded)
+            run = lambda: step(dev.table_flat, dev.state_gid, dsh,
+                               start_t, end_t)
+        jax.block_until_ready(run())
         iters = 5
         t0 = time.perf_counter()
         for _ in range(iters):
-            out = step(dev.table_flat, dev.state_gid, dsh, start_t, end_t)
+            out = run()
             jax.block_until_ready(out)
         dt = (time.perf_counter() - t0) / iters
         results.append({"devices": n, "bytes_per_s": C * B / dt})
@@ -88,7 +103,7 @@ def main() -> None:
     for r in results:
         r["efficiency"] = r["bytes_per_s"] / (base * r["devices"])
     print(json.dumps({"metric": "scaling", "platform": args.platform,
-                      "results": results}))
+                      "engine": args.engine, "results": results}))
 
 
 if __name__ == "__main__":

@@ -159,3 +159,12 @@ def test_nocase_non_letters_unaffected():
     assert table_scan(table, bytes([0x61, 0x00, 0x7A])) == [(2, 0)]
     assert table_scan(table, bytes([0x41, 0x00, 0x5A])) == [(2, 0)]
     assert table_scan(table, bytes([0x41, 0x20, 0x5A])) == []
+
+
+def test_save_load_preserves_nocase(tmp_path):
+    ac = AhoCorasick(nocase=True)
+    ac.add_pattern(b"MiXeD")
+    t = ac.compile()
+    p = str(tmp_path / "t.npz")
+    t.save(p)
+    assert DfaTable.load(p).nocase is True

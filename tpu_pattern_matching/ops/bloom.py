@@ -55,6 +55,7 @@ import jax.numpy as jnp
 import numpy as np
 
 MASK32 = 0xFFFFFFFF
+MAX_BANKS_PER_KERNEL = 8  # more banks per kernel collapse VMEM (BENCH_NOTES)
 GT = 64  # stride-groups (tested rows) per tile; 64*s rows is always %8==0
 MAX_LANE_TILE = 1024  # lane-block width per kernel tile
 
@@ -127,7 +128,7 @@ class BloomFilterTable:
         patterns: Sequence[Sequence[int] | bytes],
         fp_target: float = 1e-3,
         max_v: int = 16,
-        max_k: int = 8,
+        max_k: int = 16,
         max_stride: int = 16,
         seed: int = 0x5EED,
         fold_case: bool = False,
@@ -138,10 +139,13 @@ class BloomFilterTable:
         <= Lmin-q+1; the kernel's window trick needs q <= stride. So the
         search space is q in [1, min(6, (Lmin+1)//2)], stride in
         [q, Lmin-q+1]: larger stride costs fewer probes per byte but loads
-        the bloom with stride grams per pattern (worse fp). Minimize
-        per-byte probe cost subject to predicted fp <= fp_target; if no
-        config meets the target (huge pattern sets), take the lowest-fp one
-        — correctness never depends on fp, only verify cost does.
+        the bloom with stride grams per pattern (worse fp). kbanks beyond
+        MAX_BANKS_PER_KERNEL split across ANDed kernel invocations, so
+        large pattern sets can buy fp headroom with extra probe passes.
+        Minimize per-byte probe cost subject to predicted CANDIDATE rate
+        (bloom fp + true-gram hits) <= fp_target; if no config meets the
+        target, take the lowest-rate one — correctness never depends on
+        fp, only verify cost does.
         """
         pats = [list(p) for p in patterns]
         if not pats:
@@ -166,8 +170,19 @@ class BloomFilterTable:
 
         def probe_cost(q, s, k, v):
             # element-ops per input byte: hash (2.5/symbol) + k banks of
-            # (index math + v gathers&selects), amortized over the stride
-            return (2.5 * q + k * (4 + 5 * v)) / s
+            # (index math + v gathers&selects), amortized over the stride.
+            # Empirical penalties (exp_bloom_ab/tune + bench A/B): non-pow2
+            # strides relayout the window reshape (~1.6x); bank groups past
+            # MAX_BANKS_PER_KERNEL run as extra ANDed kernels (~1.5x each);
+            # past the unroll budget the fori unit loop costs ~1.3x.
+            c = (2.5 * q + k * (4 + 5 * v)) / s
+            if s not in (1, 2, 4, 8, 16):
+                c *= 1.6
+            groups = -(-k // 8)  # MAX_BANKS_PER_KERNEL
+            c *= 1 + 0.5 * (groups - 1)
+            if min(k, 8) * v * 8 > 1024:
+                c *= 1.3
+            return c
 
         best = None  # (cost, q, s, k, v) meeting fp_target
         fallback = None  # (rate, cost, q, s, k, v) best-effort
@@ -282,16 +297,24 @@ class BloomFilterTable:
 # --------------------------------------------------------------- the kernel
 
 
-def _make_probe_kernel(cfg: BloomConfig, ct: int):
-    """Kernel body specialized for static (cfg, lane-tile width).
+def _make_probe_kernel(cfg: BloomConfig, ct: int, bank0: int, nbanks: int):
+    """Kernel body specialized for static (cfg, lane-tile width, bank group).
 
-    Per tile: hash gt stride-groups x ct lanes, probe k banks, mask rows
-    against the lane bounds, and bit-pack the gt survivor rows into gt/32
-    int32 words per lane — the device->host result is a bitmap 32*stride
-    times smaller than the input."""
-    q, s, k, v = cfg.q, cfg.stride, cfg.kbanks, cfg.v
+    Per tile: hash gt stride-groups x ct lanes, probe banks
+    [bank0, bank0+nbanks), mask rows against the lane bounds, and bit-pack
+    the gt survivor rows into gt/32 int32 words per lane — the
+    device->host result is a bitmap 32*stride times smaller than the
+    input. Configs with kbanks > MAX_BANKS_PER_KERNEL are split across
+    several kernel invocations whose bitmaps AND together (the per-kernel
+    VMEM live set collapses throughput past ~8x16 gather chains)."""
+    q, s, v = cfg.q, cfg.stride, cfg.v
     GT = cfg.gt
     words_per_tile = GT // 32
+    banks = range(bank0, bank0 + nbanks)
+    # fully-unrolled bodies compile fastest-running code, but past ~1024
+    # gather ops Mosaic's remote compile takes 10+ minutes; fall back to a
+    # fori_loop over units beyond the budget
+    unroll_units = nbanks * v * (ct // 128) <= 1024
 
     def kernel_fullwidth(data_ref, bounds_ref, bloom_ref, out_ref):
         from jax.experimental import pallas as pl
@@ -307,25 +330,46 @@ def _make_probe_kernel(cfg: BloomConfig, ct: int):
             m1 = m1 + bi * jnp.int32(cfg.mix1[qi])
             m2 = m2 + bi * jnp.int32(cfg.mix2[qi])
         hit = jnp.ones((GT, ct), jnp.bool_)
-        for b in range(k):
+        for b in banks:
             h = m1 + jnp.int32(b) * m2
             h = h ^ jax.lax.shift_right_logical(h, 13)
             vi = jax.lax.shift_right_logical(h, 17) & (v - 1)
             w7 = jax.lax.shift_right_logical(h, 10) & 127
             bit = jax.lax.shift_right_logical(h, 5) & 31
-            word = None
-            for u in range(v):
-                t = jnp.broadcast_to(bloom_ref[b, u, :][None, :], (GT, 128))
+            # (dynamic_slice on values is unimplemented in Mosaic; dynamic
+            # Ref indexing via pl.ds is the supported form.)
+            bi_ = b - bank0
+
+            def unit_gather(u, w7=w7, bi_=bi_, static=False):
+                t = jnp.broadcast_to(
+                    bloom_ref[bi_, u, :][None, :]
+                    if static
+                    else bloom_ref[bi_, pl.ds(u, 1), :],
+                    (GT, 128),
+                )
                 parts = [
                     jnp.take_along_axis(
                         t, w7[:, lb * 128 : (lb + 1) * 128], axis=1
                     )
                     for lb in range(ct // 128)
                 ]
-                g = parts[0] if len(parts) == 1 else jnp.concatenate(
+                return parts[0] if len(parts) == 1 else jnp.concatenate(
                     parts, axis=1
                 )
-                word = g if word is None else jnp.where(vi == u, g, word)
+
+            if unroll_units:
+                word = unit_gather(0, static=True)
+                for u in range(1, v):
+                    word = jnp.where(
+                        vi == u, unit_gather(u, static=True), word
+                    )
+            else:
+                word = jax.lax.fori_loop(
+                    0,
+                    v,
+                    lambda u, w: jnp.where(vi == u, unit_gather(u), w),
+                    jnp.zeros((GT, ct), jnp.int32),
+                )
             hit = hit & (
                 (jax.lax.shift_right_logical(word, bit) & 1) == 1
             )
@@ -363,20 +407,35 @@ def _make_probe_kernel(cfg: BloomConfig, ct: int):
                 m1 = m1 + bi * jnp.int32(cfg.mix1[qi])
                 m2 = m2 + bi * jnp.int32(cfg.mix2[qi])
             hit = jnp.ones((GT, 128), jnp.bool_)
-            for b in range(k):
+            for b in banks:
                 h = m1 + jnp.int32(b) * m2
                 h = h ^ jax.lax.shift_right_logical(h, 13)
                 vi = jax.lax.shift_right_logical(h, 17) & (v - 1)
                 w7 = jax.lax.shift_right_logical(h, 10) & 127
                 bit = jax.lax.shift_right_logical(h, 5) & 31
-                word = None
-                for u in range(v):
+                bi_ = b - bank0
+
+                def unit_gather(u, w7=w7, bi_=bi_, static=False):
                     t = jnp.broadcast_to(
-                        bloom_ref[b, u, :][None, :], (GT, 128)
+                        bloom_ref[bi_, u, :][None, :]
+                        if static
+                        else bloom_ref[bi_, pl.ds(u, 1), :],
+                        (GT, 128),
                     )
-                    g = jnp.take_along_axis(t, w7, axis=1)
-                    word = g if word is None else jnp.where(
-                        vi == u, g, word
+                    return jnp.take_along_axis(t, w7, axis=1)
+
+                if unroll_units:
+                    word = unit_gather(0, static=True)
+                    for u in range(1, v):
+                        word = jnp.where(
+                            vi == u, unit_gather(u, static=True), word
+                        )
+                else:
+                    word = jax.lax.fori_loop(
+                        0,
+                        v,
+                        lambda u, w: jnp.where(vi == u, unit_gather(u), w),
+                        jnp.zeros((GT, 128), jnp.int32),
                     )
                 hit = hit & (
                     (jax.lax.shift_right_logical(word, bit) & 1) == 1
@@ -403,7 +462,8 @@ def _make_probe_kernel(cfg: BloomConfig, ct: int):
 def _probe_bits_jit(data_tm, bounds, words, *, cfg: BloomConfig, interpret):
     """bits[w, c] bit b set <=> the gram starting at row ((w*32+b)*stride)
     of lane c survives all banks and the lane mask. data_tm: [T, C]
-    time-major, T % tile_rows == 0, C % 128 == 0."""
+    time-major, T % tile_rows == 0, C % 128 == 0. Bank groups of at most
+    MAX_BANKS_PER_KERNEL run as separate kernels whose bitmaps AND."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -416,27 +476,32 @@ def _probe_bits_jit(data_tm, bounds, words, *, cfg: BloomConfig, interpret):
     assert C % ct == 0 and ct % 128 == 0, (C, ct)
     tiles_c = C // ct
     wpt = GT // 32
-    bits = pl.pallas_call(
-        _make_probe_kernel(cfg, ct),
-        out_shape=jax.ShapeDtypeStruct((tiles_t, wpt, C), jnp.int32),
-        grid=(tiles_t, tiles_c),
-        compiler_params=pltpu.CompilerParams(
-            # high-v configs keep ~k*v live [GT, ct] i32 intermediates; the
-            # default 16 MB scoped-vmem cap is far below the chip's VMEM
-            vmem_limit_bytes=96 * 1024 * 1024,
-        ),
-        in_specs=[
-            pl.BlockSpec((tt, ct), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, ct), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, wpt, ct), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
-        ),
-        interpret=interpret,
-    )(data_tm, bounds, words)
+    bits = None
+    for bank0 in range(0, cfg.kbanks, MAX_BANKS_PER_KERNEL):
+        nbanks = min(MAX_BANKS_PER_KERNEL, cfg.kbanks - bank0)
+        group = pl.pallas_call(
+            _make_probe_kernel(cfg, ct, bank0, nbanks),
+            out_shape=jax.ShapeDtypeStruct((tiles_t, wpt, C), jnp.int32),
+            grid=(tiles_t, tiles_c),
+            compiler_params=pltpu.CompilerParams(
+                # high-v configs keep ~k*v live [GT, ct] i32 intermediates;
+                # the default 16 MB scoped-vmem cap is far below the chip's
+                vmem_limit_bytes=96 * 1024 * 1024,
+            ),
+            in_specs=[
+                pl.BlockSpec((tt, ct), lambda i, j: (i, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, ct), lambda i, j: (0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, wpt, ct), lambda i, j: (i, 0, j),
+                memory_space=pltpu.VMEM,
+            ),
+            interpret=interpret,
+        )(data_tm, bounds, words[bank0 : bank0 + nbanks])
+        bits = group if bits is None else (bits & group)
     return bits.reshape(tiles_t * wpt, C)
 
 

@@ -38,10 +38,12 @@ class Verifier:
         max_pat_len: int = 1,
         fold_case: bool = False,
         dense_table=None,  # DfaTable: enables the fast dense window walker
+        threads: int = 4,  # verify threads for match-heavy batches
     ):
         self.q = q
         self.lmax = max_pat_len
         self.fold_case = fold_case
+        self.threads = max(1, threads)
         self._dense = None
         self._oracle = None
         if dense_table is not None:
@@ -158,16 +160,40 @@ class Verifier:
             )
 
             table_flat, alphabet, state_gid, groups = self._dense
-            out_lane, out_end, out_state = dense_match_windows(
-                table_flat,
-                alphabet,
-                data,
-                np.asarray(lanes, np.int32),
-                np.asarray(w0s, np.int64),
-                np.asarray(w1s, np.int64),
-                np.full(len(lanes), halo, np.int64),
-                np.asarray(khis, np.int64),
-            )
+            la = np.asarray(lanes, np.int32)
+            a0 = np.asarray(w0s, np.int64)
+            a1 = np.asarray(w1s, np.int64)
+            lo = np.full(len(lanes), halo, np.int64)
+            hi = np.asarray(khis, np.int64)
+
+            def run(sl):
+                return dense_match_windows(
+                    table_flat, alphabet, data,
+                    la[sl], a0[sl], a1[sl], lo[sl], hi[sl],
+                )
+
+            nt = self.threads if len(la) >= 8192 else 1
+            if nt > 1:
+                # the ctypes call releases the GIL: window shards verify in
+                # parallel on match-heavy batches
+                from concurrent.futures import ThreadPoolExecutor
+
+                bounds_idx = np.linspace(0, len(la), nt + 1, dtype=int)
+                with ThreadPoolExecutor(nt) as pool:
+                    parts = list(
+                        pool.map(
+                            run,
+                            [
+                                slice(bounds_idx[i], bounds_idx[i + 1])
+                                for i in range(nt)
+                            ],
+                        )
+                    )
+                out_lane = np.concatenate([p[0] for p in parts])
+                out_end = np.concatenate([p[1] for p in parts])
+                out_state = np.concatenate([p[2] for p in parts])
+            else:
+                out_lane, out_end, out_state = run(slice(None))
             events: list[tuple[int, int, int]] = []
             for ln, e, st in zip(
                 out_lane.tolist(), out_end.tolist(), out_state.tolist()

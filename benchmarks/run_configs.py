@@ -136,9 +136,10 @@ def config2(data_dir: str) -> None:
 
 def config3(data_dir: str) -> None:
     sigs = _hex_sigs(10_000, seed=3, length=16)
-    p7 = _random_file(os.path.join(data_dir, "32MB.7.bin"), 32, seed=7)
+    p7 = _random_file(os.path.join(data_dir, "32MB.7q.bin"), 32, seed=7)
     p8 = _random_file(os.path.join(data_dir, "32MB.8.bin"), 32, seed=8)
-    out7 = _scan_file_throughput(sigs, p7, sort=True, check_oracle=False)
+    _plant(p7, sigs, 500)  # exact-parity evidence at the 10k scale point
+    out7 = _scan_file_throughput(sigs, p7, sort=True, check_oracle=True)
     out8 = _scan_file_throughput(sigs, p8, sort=True, check_oracle=False)
     tot = out7["bytes"] + out8["bytes"]
     dt = out7["wall_s"] + out8["wall_s"]
@@ -149,7 +150,9 @@ def config3(data_dir: str) -> None:
         bytes_per_s=tot / dt,
         events=out7["events"] + out8["events"],
         states=out7["states"],
+        parity=out7["parity"],
     )
+    assert out7["parity"] is True
 
 
 def config4(data_dir: str) -> None:

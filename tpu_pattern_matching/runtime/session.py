@@ -14,13 +14,7 @@ from typing import Iterator, Sequence
 import numpy as np
 
 from tpu_pattern_matching.core.dfa import DfaTable
-from tpu_pattern_matching.ops.compact import (
-    CompactMatches,
-    compact_matches,
-    per_group_counts,
-    sort_matches,
-)
-from tpu_pattern_matching.ops.match_xla import ScanResult, scan_batch
+from tpu_pattern_matching.ops.compact import CompactMatches, per_group_counts
 from tpu_pattern_matching.ops.table import DeviceTable
 from tpu_pattern_matching.runtime.buffers import DataBuffer, HostBatch, StreamState
 
@@ -75,8 +69,6 @@ class MatchSession:
           both walks per element).
         - "auto" (default) — bloom on byte-alphabet tables, dense otherwise.
         """
-        import jax as _jax
-
         from tpu_pattern_matching.utils.common import pad_halo
 
         if engine == "auto":

@@ -164,3 +164,46 @@ def test_categorical_pattern_ids(capsys, tmp_path):
     assert "Pattern 7 ('good')" in out
     assert "Pattern -5 ('bad')" in out
     assert "Matches:             3" in out
+
+
+def test_engine_flag_all_engines_agree(capsys, corpus_dir):
+    tmp, pat, data, patterns, corpus = corpus_dir
+    outs = {}
+    for engine in ("bloom", "dense", "esc16"):
+        rc, out = run_cli(
+            capsys,
+            ["-f", data, "-p", pat, "-B", "64", "-G", "16", "-t", "-v",
+             "-w", "1", "--sort", "--engine", engine],
+        )
+        assert rc == 0
+        outs[engine] = sorted(
+            l for l in out.splitlines() if l.startswith("Pattern")
+        )
+    assert outs["bloom"] == outs["dense"] == outs["esc16"]
+    assert len(outs["bloom"]) > 0
+
+
+def test_sigint_drains_and_flushes(corpus_dir, tmp_path):
+    # the reference's SIGINT handler sets terminate and workers flush a
+    # final batch (ocl_aho_grep.c:25-31, 61-65); follow mode + SIGINT must
+    # exit cleanly with the stats block
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    tmp, pat, data, patterns, corpus = corpus_dir
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "tpu_pattern_matching.cli",
+         "-f", data, "-p", pat, "-t", "-F", "-w", "1",
+         "-B", "64", "-G", "16"],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    time.sleep(20)  # let it start following
+    proc.send_signal(signal.SIGINT)
+    out, _ = proc.communicate(timeout=120)
+    assert proc.returncode == 0
+    assert b"STATS" in out

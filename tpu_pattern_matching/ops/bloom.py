@@ -40,8 +40,10 @@ includes the TRUE-gram hit rate — a filter on 1-grams of a 10k-pattern set
 would pass every byte no matter how empty the bloom is.
 
 This replaces the role of ahomatch.cl:50-77 (the per-byte DFA walk) with a
-design native to the TPU's VPU: ~19 GB/s/chip measured honestly at
-k=6, V=4, stride 7 — ~250x the XLA DFA walk.
+design native to the TPU's VPU: ~5.6 GB/s/chip measured honestly at the
+official 10k-signature point (chooser config q4 s4 k8 V16) — ~75x the XLA
+DFA walk — and 15-50 GB/s on smaller sets whose configs need fewer
+gather+select chains (BENCH_NOTES.md).
 """
 
 from __future__ import annotations

@@ -73,3 +73,49 @@ def test_tiny_chunks_halo_larger_than_chunk():
     assert sess.halo > 16
     data = b"pp" + b"q" * 40 + b"pp"
     assert sess.find(data) == [(41, 0)]
+
+
+def test_stream_state_resume_across_sessions():
+    # SURVEY aux: the reference's only stream-resume state is one
+    # `last_state` long (databuf.h:35); here it's the plain-data StreamState
+    # (tail bytes + offset) — serializable, and resuming mid-stream finds
+    # matches that straddle the suspension point
+    import io
+    import pickle
+
+    from tpu_pattern_matching.core.dfa import compile_patterns
+    from tpu_pattern_matching.core.oracle import match_python
+    from tpu_pattern_matching.runtime.session import MatchSession
+
+    pats = [b"straddle!"]
+    part1 = b"x" * 100 + b"strad"
+    part2 = b"dle!" + b"y" * 50 + b"straddle!"
+    full = part1 + part2
+    want = sorted(match_python(pats, full))
+
+    sess = MatchSession(compile_patterns(pats), max_chunks=2, chunk_len=32)
+    buf = sess.new_buffer()
+    stream = StreamState(file_id=0)
+    events = []
+
+    def drain(fobj, stream, buf):
+        got = []
+        while True:
+            code, rd = buf.add_stream(fobj, stream)
+            if buf.chunks and (code == -1 or rd == 0):
+                bm = sess.scan_and_decode(buf.to_batch())
+                got.extend(ev for b in [bm] for ev in b.events)
+                buf.reset()
+            if rd == 0:
+                return got
+
+    events += drain(io.BytesIO(part1), stream, buf)
+    # suspend: persist the continuity state, then resume in a NEW buffer
+    blob = pickle.dumps(stream)
+    stream2 = pickle.loads(blob)
+    buf2 = sess.new_buffer()
+    events += drain(io.BytesIO(part2), stream2, buf2)
+    got = sorted(
+        (ev.end_offset, p) for ev in events for p in ev.pattern_indices
+    )
+    assert got == want

@@ -20,8 +20,9 @@ _WORKER = textwrap.dedent(
     import jax
     jax.config.update("jax_platforms", "cpu")
     pid = int(sys.argv[1])
+    port = sys.argv[2]
     jax.distributed.initialize(
-        "localhost:18273", num_processes=2, process_id=pid
+        f"localhost:{port}", num_processes=2, process_id=pid
     )
     import numpy as np
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -75,6 +76,11 @@ _WORKER = textwrap.dedent(
     os.environ.get("TPM_TEST_TPU"), reason="multi-process sim is CPU-only"
 )
 def test_two_process_sharded_bloom():
+    import socket
+
+    with socket.socket() as sock:  # a free port: collisions hang the init
+        sock.bind(("localhost", 0))
+        port = str(sock.getsockname()[1])
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = {
         k: v
@@ -83,7 +89,7 @@ def test_two_process_sharded_bloom():
     }
     procs = [
         subprocess.Popen(
-            [sys.executable, "-c", _WORKER, str(i)],
+            [sys.executable, "-c", _WORKER, str(i), port],
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
             cwd=root,

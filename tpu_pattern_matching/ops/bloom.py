@@ -308,7 +308,13 @@ def _make_probe_kernel(cfg: BloomConfig, ct: int, bank0: int, nbanks: int):
     device->host result is a bitmap 32*stride times smaller than the
     input. Configs with kbanks > MAX_BANKS_PER_KERNEL are split across
     several kernel invocations whose bitmaps AND together (the per-kernel
-    VMEM live set collapses throughput past ~8x16 gather chains)."""
+    VMEM live set collapses throughput past ~8x16 gather chains).
+
+    ``cfg.blockwise`` picks the lane granularity of the shared block body:
+    one full-width pass (larger vector ops; Mosaic hoists the independent
+    unit gathers, so the live set grows with k*v) vs one 128-lane block at
+    a time (bounded live set).
+    """
     q, s, v = cfg.q, cfg.stride, cfg.v
     GT = cfg.gt
     words_per_tile = GT // 32
@@ -318,97 +324,24 @@ def _make_probe_kernel(cfg: BloomConfig, ct: int, bank0: int, nbanks: int):
     # fori_loop over units beyond the budget
     unroll_units = nbanks * v * (ct // 128) <= 1024
 
-    def kernel_fullwidth(data_ref, bounds_ref, bloom_ref, out_ref):
-        from jax.experimental import pallas as pl
-
-        d = data_ref[:].astype(jnp.int32)  # [GT*s, ct] time-major symbols
-        if cfg.fold_case:
-            d = jnp.where((d >= 65) & (d <= 90), d + 32, d)
-        resh = d.reshape(GT, s, ct)
-        m1 = jnp.zeros((GT, ct), jnp.int32)
-        m2 = jnp.zeros((GT, ct), jnp.int32)
-        for qi in range(q):
-            bi = resh[:, qi, :]
-            m1 = m1 + bi * jnp.int32(cfg.mix1[qi])
-            m2 = m2 + bi * jnp.int32(cfg.mix2[qi])
-        hit = jnp.ones((GT, ct), jnp.bool_)
-        for b in banks:
-            h = m1 + jnp.int32(b) * m2
-            h = h ^ jax.lax.shift_right_logical(h, 13)
-            vi = jax.lax.shift_right_logical(h, 17) & (v - 1)
-            w7 = jax.lax.shift_right_logical(h, 10) & 127
-            bit = jax.lax.shift_right_logical(h, 5) & 31
-            # (dynamic_slice on values is unimplemented in Mosaic; dynamic
-            # Ref indexing via pl.ds is the supported form.)
-            bi_ = b - bank0
-
-            def unit_gather(u, w7=w7, bi_=bi_, static=False):
-                t = jnp.broadcast_to(
-                    bloom_ref[bi_, u, :][None, :]
-                    if static
-                    else bloom_ref[bi_, pl.ds(u, 1), :],
-                    (GT, 128),
-                )
-                parts = [
-                    jnp.take_along_axis(
-                        t, w7[:, lb * 128 : (lb + 1) * 128], axis=1
-                    )
-                    for lb in range(ct // 128)
-                ]
-                return parts[0] if len(parts) == 1 else jnp.concatenate(
-                    parts, axis=1
-                )
-
-            if unroll_units:
-                word = unit_gather(0, static=True)
-                for u in range(1, v):
-                    word = jnp.where(
-                        vi == u, unit_gather(u, static=True), word
-                    )
-            else:
-                word = jax.lax.fori_loop(
-                    0,
-                    v,
-                    lambda u, w: jnp.where(vi == u, unit_gather(u), w),
-                    jnp.zeros((GT, ct), jnp.int32),
-                )
-            hit = hit & (
-                (jax.lax.shift_right_logical(word, bit) & 1) == 1
-            )
-        i = pl.program_id(0)
-        g_iota = jax.lax.broadcasted_iota(jnp.int32, (GT, ct), 0)
-        rows = (i * GT + g_iota) * s
-        start_t = bounds_ref[0, :][None, :]
-        end_t = bounds_ref[1, :][None, :]
-        hit = hit & (rows + q <= end_t) & (end_t > start_t)
-        hi = hit.astype(jnp.int32).reshape(words_per_tile, 32, ct)
-        acc = jnp.zeros((words_per_tile, ct), jnp.int32)
-        for b in range(32):
-            acc = acc | jax.lax.shift_left(hi[:, b, :], jnp.int32(b))
-        out_ref[0] = acc
-
     def kernel(data_ref, bounds_ref, bloom_ref, out_ref):
         from jax.experimental import pallas as pl
 
-        # Process one 128-lane block at a time: Mosaic hoists the k*v unit
-        # gathers (they're independent of the select chain), so full-width
-        # [GT, ct] intermediates blow the VMEM live set at k*v >= ~96 and
-        # throughput collapses ~10x (measured). [GT, 128] granularity keeps
-        # the live set bounded regardless of k*v.
-        i = pl.program_id(0)
-        for lb in range(ct // 128):
-            sl = slice(lb * 128, (lb + 1) * 128)
-            d = data_ref[:, sl].astype(jnp.int32)  # [GT*s, 128]
+        tile_i = pl.program_id(0)
+
+        def probe_block(sl, width):
+            """hit bits for lanes data_ref[:, sl] (width % 128 == 0)."""
+            d = data_ref[:, sl].astype(jnp.int32)  # [GT*s, width]
             if cfg.fold_case:
                 d = jnp.where((d >= 65) & (d <= 90), d + 32, d)
-            resh = d.reshape(GT, s, 128)
-            m1 = jnp.zeros((GT, 128), jnp.int32)
-            m2 = jnp.zeros((GT, 128), jnp.int32)
+            resh = d.reshape(GT, s, width)
+            m1 = jnp.zeros((GT, width), jnp.int32)
+            m2 = jnp.zeros((GT, width), jnp.int32)
             for qi in range(q):
                 bi = resh[:, qi, :]
                 m1 = m1 + bi * jnp.int32(cfg.mix1[qi])
                 m2 = m2 + bi * jnp.int32(cfg.mix2[qi])
-            hit = jnp.ones((GT, 128), jnp.bool_)
+            hit = jnp.ones((GT, width), jnp.bool_)
             for b in banks:
                 h = m1 + jnp.int32(b) * m2
                 h = h ^ jax.lax.shift_right_logical(h, 13)
@@ -417,6 +350,8 @@ def _make_probe_kernel(cfg: BloomConfig, ct: int, bank0: int, nbanks: int):
                 bit = jax.lax.shift_right_logical(h, 5) & 31
                 bi_ = b - bank0
 
+                # (dynamic_slice on values is unimplemented in Mosaic;
+                # dynamic Ref indexing via pl.ds is the supported form)
                 def unit_gather(u, w7=w7, bi_=bi_, static=False):
                     t = jnp.broadcast_to(
                         bloom_ref[bi_, u, :][None, :]
@@ -424,7 +359,17 @@ def _make_probe_kernel(cfg: BloomConfig, ct: int, bank0: int, nbanks: int):
                         else bloom_ref[bi_, pl.ds(u, 1), :],
                         (GT, 128),
                     )
-                    return jnp.take_along_axis(t, w7, axis=1)
+                    parts = [
+                        jnp.take_along_axis(
+                            t, w7[:, lb * 128 : (lb + 1) * 128], axis=1
+                        )
+                        for lb in range(width // 128)
+                    ]
+                    return (
+                        parts[0]
+                        if len(parts) == 1
+                        else jnp.concatenate(parts, axis=1)
+                    )
 
                 if unroll_units:
                     word = unit_gather(0, static=True)
@@ -437,7 +382,7 @@ def _make_probe_kernel(cfg: BloomConfig, ct: int, bank0: int, nbanks: int):
                         0,
                         v,
                         lambda u, w: jnp.where(vi == u, unit_gather(u), w),
-                        jnp.zeros((GT, 128), jnp.int32),
+                        jnp.zeros((GT, width), jnp.int32),
                     )
                 hit = hit & (
                     (jax.lax.shift_right_logical(word, bit) & 1) == 1
@@ -445,19 +390,26 @@ def _make_probe_kernel(cfg: BloomConfig, ct: int, bank0: int, nbanks: int):
             # mask: a candidate gram must lie inside the lane's valid span
             # (rows >= end_t - q + 1 can't start a gram of a match; empty
             # and padding lanes have start_t == end_t)
-            g_iota = jax.lax.broadcasted_iota(jnp.int32, (GT, 128), 0)
-            rows = (i * GT + g_iota) * s
+            g_iota = jax.lax.broadcasted_iota(jnp.int32, (GT, width), 0)
+            rows = (tile_i * GT + g_iota) * s
             start_t = bounds_ref[0, sl][None, :]
             end_t = bounds_ref[1, sl][None, :]
             hit = hit & (rows + q <= end_t) & (end_t > start_t)
             # bit-pack GT rows -> GT/32 words per lane
-            hi = hit.astype(jnp.int32).reshape(words_per_tile, 32, 128)
-            acc = jnp.zeros((words_per_tile, 128), jnp.int32)
+            hi = hit.astype(jnp.int32).reshape(words_per_tile, 32, width)
+            acc = jnp.zeros((words_per_tile, width), jnp.int32)
             for b in range(32):
                 acc = acc | jax.lax.shift_left(hi[:, b, :], jnp.int32(b))
-            out_ref[0, :, sl] = acc
+            return acc
 
-    return kernel if cfg.blockwise else kernel_fullwidth
+        if cfg.blockwise:
+            for lb in range(ct // 128):
+                sl = slice(lb * 128, (lb + 1) * 128)
+                out_ref[0, :, sl] = probe_block(sl, 128)
+        else:
+            out_ref[0] = probe_block(slice(0, ct), ct)
+
+    return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
@@ -474,7 +426,12 @@ def _probe_bits_jit(data_tm, bounds, words, *, cfg: BloomConfig, interpret):
     tt = cfg.tile_rows
     assert T % tt == 0, (T, tt)
     tiles_t = T // tt
+    # largest lane-tile width <= cfg.ct that divides C (C % 128 == 0 always
+    # holds after the caller's lane padding, so ct = 128 is the floor) —
+    # e.g. C = 1280 lanes gets ct = 256, not a crash on 1280 % 1024 != 0
     ct = min(C, cfg.ct)
+    while C % ct:
+        ct -= 128
     assert C % ct == 0 and ct % 128 == 0, (C, ct)
     tiles_c = C // ct
     wpt = GT // 32

@@ -61,8 +61,9 @@ class MatchSession:
         """``engine`` selects the device scan:
 
         - "bloom" — Pallas q-gram bloom filter + exact host verify via the
-          native oracle (ops/bloom.py). The TPU hot path: ~250x the DFA
-          walk (BENCH_NOTES.md). Byte alphabet only.
+          native oracle (ops/bloom.py). The TPU hot path: ~75x the DFA
+          walk at the official 10k-signature point, more on smaller sets
+          (BENCH_NOTES.md). Byte alphabet only.
         - "dense" — XLA signed-table DFA walk, exact on device.
         - "esc16" — dense + escape-encoded int16 fast path (opt-in; the
           narrower gathers don't pay on real TPUs, where XLA serializes
@@ -248,8 +249,8 @@ class MatchSession:
         from collections import deque
 
         depth = max(1, depth)
-        bufs = [self.new_buffer() for _ in range(depth + 1)]
-        cur = 0
+        bufs = [self.new_buffer()]  # grown lazily up to depth + 1: short
+        cur = 0                     # scans keep the old 1-2 buffer footprint
         pending: deque[tuple[HostBatch, object]] = deque()
         stream = StreamState(file_id=file_id)
         while True:
@@ -264,6 +265,8 @@ class MatchSession:
                 pending.append((batch, self.scan(batch)))  # async dispatch
                 if len(pending) > depth:
                     yield self.decode(*pending.popleft())
+                if len(bufs) < depth + 1:
+                    bufs.append(self.new_buffer())
                 cur = (cur + 1) % len(bufs)
                 bufs[cur].reset()
             if eof:

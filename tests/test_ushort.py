@@ -99,3 +99,77 @@ def test_ushort_out_of_range_clamped(tmp_path):
     dev = DeviceTable.put(table)
     res = scan_batch(dev, data, start_t, end_t, halo=table.max_pat_len - 1)
     assert int(np.asarray(res.counts).sum()) == 1
+
+
+def test_ushort_bloom_and_dense_agree(tmp_path, capsys):
+    # same signature/flow fixture through both engines: identical output
+    from tpu_pattern_matching.cli import main
+
+    sig = tmp_path / "sigs"
+    sig.write_text("40,1500,1500; 3; alpha\n7,7,7; 3; beta\n")
+    flow = tmp_path / "flow.txt"
+    flow.write_text("3, 40, 1500, 1500, 9, 7, 7, 7, 7\n")
+    lines = {}
+    for engine in ("bloom", "dense"):
+        rc = main(["-f", str(flow), "-p", str(sig), "--ushort", "-v",
+                   "--engine", engine])
+        out = capsys.readouterr().out
+        assert rc == 0
+        lines[engine] = sorted(
+            l for l in out.splitlines() if l.startswith("Pattern")
+        )
+    assert lines["bloom"] == lines["dense"]
+    assert len(lines["bloom"]) == 3  # alpha once, beta twice (7777)
+
+
+def test_ushort_bloom_ops_parity_vs_oracle():
+    # ops-level: alphabet-2048 bloom + generic-width verify vs the oracle
+    import numpy as np
+
+    from tpu_pattern_matching.core.dfa import AhoCorasick
+    from tpu_pattern_matching.core.oracle import match_python
+    from tpu_pattern_matching.ops.bloom import (
+        BloomFilterTable,
+        unpack_hit_rows,
+    )
+    from tpu_pattern_matching.runtime.verify import Verifier
+
+    ac = AhoCorasick(alphabet_size=2048)
+    seqs = [(40, 1500, 1500), (1000, 999), (7, 7, 7, 7), (2047, 1, 2047)]
+    for s in seqs:
+        ac.add_pattern(s)
+    table = ac.compile()
+    bft = BloomFilterTable.from_table(table)
+    rng = np.random.RandomState(0)
+    C, B, halo = 4, 64, 8
+    data = rng.randint(0, 2048, size=(C, halo + B)).astype(np.uint16)
+    data[0, halo + 3 : halo + 6] = [40, 1500, 1500]
+    data[1, halo + 60 :] = [1000, 999, 7, 7][:4]
+    data[2, halo - 2 : halo + 2] = [7, 7, 7, 7]  # straddles the halo seam
+    start_t = np.full(C, halo, np.int32)
+    start_t[2] = halo - 2
+    end_t = np.full(C, halo + B, np.int32)
+    hits = bft.put().hits(data, np.stack([start_t, end_t]))
+    by_lane = {}
+    rows, lanes_ = unpack_hit_rows(np.asarray(hits.bits), bft.cfg.stride)
+    for ln, row in zip(lanes_.tolist(), rows.tolist()):
+        by_lane.setdefault(ln, []).append(row)
+    v = Verifier([p.symbols for p in table.patterns], alphabet_size=2048,
+                 q=bft.cfg.q, max_pat_len=table.max_pat_len,
+                 dense_table=table)
+    got = sorted(
+        (ln, e, pid)
+        for ln, e, pid in v.verify_batch(data, by_lane, halo, start_t, end_t)
+    )
+    want = []
+    for ln in range(C):
+        evs = match_python(
+            [p.symbols for p in table.patterns],
+            data[ln, start_t[ln] : end_t[ln]].tolist(),
+        )
+        for e, pid in evs:
+            e_row = e + start_t[ln]
+            if e_row >= halo:
+                want.append((ln, e_row, pid))
+    assert got == sorted(want)
+    assert len(got) >= 3

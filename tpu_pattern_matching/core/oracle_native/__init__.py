@@ -88,8 +88,10 @@ def _lib():
         lib.dense_match_windows.argtypes = [
             ctypes.c_void_p,  # table
             ctypes.c_int32,  # alphabet
-        ] + lib.oracle_match_windows.argtypes[1:3] + \
-            lib.oracle_match_windows.argtypes[4:]
+            ctypes.c_void_p,  # data
+            ctypes.c_int64,  # lane_stride (elements)
+            ctypes.c_int32,  # sym_bytes
+        ] + lib.oracle_match_windows.argtypes[4:]
         _LIB = lib
         return lib
 
@@ -97,7 +99,7 @@ def _lib():
 def dense_match_windows(
     table: np.ndarray,  # [S * alphabet] int32 signed dense table
     alphabet: int,
-    data: np.ndarray,  # [n_lanes, lane_stride] uint8
+    data: np.ndarray,  # [n_lanes, lane_stride] uint8/uint16/int32 symbols
     lanes: np.ndarray,
     w0s: np.ndarray,
     w1s: np.ndarray,
@@ -111,7 +113,9 @@ def dense_match_windows(
     the signed-table FINAL states; resolve pattern sets via state_gid."""
     lib = _lib()
     table = np.ascontiguousarray(table, np.int32)
-    data = np.ascontiguousarray(data, np.uint8)
+    if data.dtype not in (np.uint8, np.uint16, np.int32):
+        data = np.ascontiguousarray(data, np.int32)
+    data = np.ascontiguousarray(data)
     n = len(lanes)
     lanes = np.ascontiguousarray(lanes, np.int32)
     w0s = np.ascontiguousarray(w0s, np.int64)
@@ -129,6 +133,7 @@ def dense_match_windows(
             alphabet,
             data.ctypes.data_as(ctypes.c_void_p),
             data.shape[1],
+            data.dtype.itemsize,
             lanes.ctypes.data_as(ctypes.c_void_p),
             w0s.ctypes.data_as(ctypes.c_void_p),
             w1s.ctypes.data_as(ctypes.c_void_p),
@@ -140,6 +145,8 @@ def dense_match_windows(
             out_state.ctypes.data_as(ctypes.c_void_p),
             cap,
         )
+        if total < 0:
+            raise ValueError(f"unsupported symbol width {data.dtype}")
         if total <= cap:
             return out_lane[:total], out_end[:total], out_state[:total]
         cap = int(total)

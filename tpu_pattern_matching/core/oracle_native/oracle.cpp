@@ -55,6 +55,72 @@ struct Oracle {
 
 }  // namespace
 
+// sym_bytes selects the input element width: 1 = uint8 (byte alphabet),
+// 2 = uint16 (the ushort packet-metadata alphabet), 4 = int32.
+// lane_stride is in ELEMENTS. Out-of-alphabet symbols reset to the root
+// (no pattern contains them — same contract as oracle_match).
+template <typename SYM>
+static int64_t dense_walk(const int32_t *table, int32_t alphabet,
+                          const SYM *data, int64_t lane_stride,
+                          const int32_t *lanes, const int64_t *w0s,
+                          const int64_t *w1s, const int64_t *keep_los,
+                          const int64_t *keep_his, int64_t n_windows,
+                          int32_t *out_lane, int64_t *out_end,
+                          int32_t *out_state, int64_t cap) {
+    // The walk is memory-latency bound: depth>=2 table rows of a big
+    // automaton miss L2, so a one-window-at-a-time loop pays a full miss
+    // per byte. Interleave GN independent windows so their loads overlap
+    // (memory-level parallelism) — measured ~an order of magnitude faster
+    // at ClamAV scale.
+    constexpr int GN = 16;
+    int64_t total = 0;
+    for (int64_t base = 0; base < n_windows; base += GN) {
+        const int g = (int)((n_windows - base < GN) ? n_windows - base : GN);
+        const SYM *rows[GN];
+        int64_t i1[GN], lo[GN], hi[GN], start[GN];
+        int32_t st[GN];
+        int64_t maxlen = 0;
+        for (int j = 0; j < g; ++j) {
+            const int64_t w = base + j;
+            rows[j] = data + (int64_t)lanes[w] * lane_stride;
+            start[j] = w0s[w];
+            i1[j] = w1s[w];
+            lo[j] = keep_los[w];
+            hi[j] = keep_his[w];
+            st[j] = 0;
+            const int64_t len = w1s[w] - w0s[w];
+            if (len > maxlen) maxlen = len;
+        }
+        for (int64_t off = 0; off < maxlen; ++off) {
+            for (int j = 0; j < g; ++j) {
+                const int64_t i = start[j] + off;
+                if (i >= i1[j]) continue;
+                const int32_t c = (int32_t)rows[j][i];
+                if (c < 0 || c >= alphabet) {
+                    st[j] = 0;
+                    continue;
+                }
+                const int32_t raw = table[(int64_t)st[j] * alphabet + c];
+                if (raw < 0) {
+                    st[j] = -raw;
+                    if (i >= lo[j] && i < hi[j]) {
+                        if (total < cap) {
+                            out_lane[total] = lanes[base + j];
+                            out_end[total] = i;
+                            out_state[total] = st[j];
+                        }
+                        ++total;
+                    }
+                } else {
+                    st[j] = raw;
+                }
+            }
+        }
+    }
+    return total;
+}
+
+
 extern "C" {
 
 // Build from concatenated symbol arrays: patterns[i] occupies
@@ -252,59 +318,32 @@ int64_t oracle_match_windows(void *h, const uint8_t *data,
 // exactly like the device dense engine's decode). Case-insensitive tables
 // already alias uppercase columns, so no xlat is needed here.
 int64_t dense_match_windows(const int32_t *table, int32_t alphabet,
-                            const uint8_t *data, int64_t lane_stride,
-                            const int32_t *lanes, const int64_t *w0s,
-                            const int64_t *w1s, const int64_t *keep_los,
-                            const int64_t *keep_his, int64_t n_windows,
-                            int32_t *out_lane, int64_t *out_end,
-                            int32_t *out_state, int64_t cap) {
-    // The walk is memory-latency bound: depth>=2 table rows of a big
-    // automaton miss L2, so a one-window-at-a-time loop pays a full miss
-    // per byte. Interleave GN independent windows so their loads overlap
-    // (memory-level parallelism) — measured ~an order of magnitude faster
-    // at ClamAV scale.
-    constexpr int GN = 16;
-    int64_t total = 0;
-    for (int64_t base = 0; base < n_windows; base += GN) {
-        const int g = (int)((n_windows - base < GN) ? n_windows - base : GN);
-        const uint8_t *rows[GN];
-        int64_t i1[GN], lo[GN], hi[GN], start[GN];
-        int32_t st[GN];
-        int64_t maxlen = 0;
-        for (int j = 0; j < g; ++j) {
-            const int64_t w = base + j;
-            rows[j] = data + (int64_t)lanes[w] * lane_stride;
-            start[j] = w0s[w];
-            i1[j] = w1s[w];
-            lo[j] = keep_los[w];
-            hi[j] = keep_his[w];
-            st[j] = 0;
-            const int64_t len = w1s[w] - w0s[w];
-            if (len > maxlen) maxlen = len;
-        }
-        for (int64_t off = 0; off < maxlen; ++off) {
-            for (int j = 0; j < g; ++j) {
-                const int64_t i = start[j] + off;
-                if (i >= i1[j]) continue;
-                const int32_t raw =
-                    table[(int64_t)st[j] * alphabet + rows[j][i]];
-                if (raw < 0) {
-                    st[j] = -raw;
-                    if (i >= lo[j] && i < hi[j]) {
-                        if (total < cap) {
-                            out_lane[total] = lanes[base + j];
-                            out_end[total] = i;
-                            out_state[total] = st[j];
-                        }
-                        ++total;
-                    }
-                } else {
-                    st[j] = raw;
-                }
-            }
-        }
+                            const void *data, int64_t lane_stride,
+                            int32_t sym_bytes, const int32_t *lanes,
+                            const int64_t *w0s, const int64_t *w1s,
+                            const int64_t *keep_los, const int64_t *keep_his,
+                            int64_t n_windows, int32_t *out_lane,
+                            int64_t *out_end, int32_t *out_state,
+                            int64_t cap) {
+    switch (sym_bytes) {
+        case 1:
+            return dense_walk(table, alphabet, (const uint8_t *)data,
+                              lane_stride, lanes, w0s, w1s, keep_los,
+                              keep_his, n_windows, out_lane, out_end,
+                              out_state, cap);
+        case 2:
+            return dense_walk(table, alphabet, (const uint16_t *)data,
+                              lane_stride, lanes, w0s, w1s, keep_los,
+                              keep_his, n_windows, out_lane, out_end,
+                              out_state, cap);
+        case 4:
+            return dense_walk(table, alphabet, (const int32_t *)data,
+                              lane_stride, lanes, w0s, w1s, keep_los,
+                              keep_his, n_windows, out_lane, out_end,
+                              out_state, cap);
+        default:
+            return -1;
     }
-    return total;
 }
 
 }  // extern "C"

@@ -115,12 +115,12 @@ class BloomFilterTable:
 
     @staticmethod
     def from_table(table, **kw) -> "BloomFilterTable":
-        """Build from a compiled :class:`core.dfa.DfaTable` (byte alphabet;
-        its patterns are already case-folded when table.nocase)."""
-        if table.alphabet_size != 256:
-            raise ValueError("bloom engine requires the byte alphabet")
+        """Build from a compiled :class:`core.dfa.DfaTable` (byte or ushort
+        alphabet; byte patterns are already case-folded when
+        table.nocase)."""
         return BloomFilterTable.build(
             [p.symbols for p in table.patterns],
+            alphabet_size=table.alphabet_size,
             fold_case=getattr(table, "nocase", False),
             **kw,
         )
@@ -134,6 +134,7 @@ class BloomFilterTable:
         max_stride: int = 16,
         seed: int = 0x5EED,
         fold_case: bool = False,
+        alphabet_size: int = 256,
     ) -> "BloomFilterTable":
         """Compile the filter, choosing (q, stride, kbanks, v) jointly.
 
@@ -149,6 +150,8 @@ class BloomFilterTable:
         target, take the lowest-rate one — correctness never depends on
         fp, only verify cost does.
         """
+        if fold_case and alphabet_size != 256:
+            raise ValueError("fold_case requires the byte alphabet")
         pats = [list(p) for p in patterns]
         if not pats:
             raise ValueError("no patterns")
@@ -164,7 +167,7 @@ class BloomFilterTable:
             # occurrences (the filter cannot reject a gram that IS in the
             # set — this is what kills tiny q for large sets) + bloom fp,
             # amortized over the stride
-            universe = 256.0**q
+            universe = float(alphabet_size) ** q
             distinct = universe * -np.expm1(-n / universe)
             true_rate = distinct / universe
             fp = float((1.0 - np.exp(-n / (v * 4096.0))) ** k)

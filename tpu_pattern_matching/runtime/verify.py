@@ -154,7 +154,10 @@ class Verifier:
                 khis.append(int(end_t[ln]))
         if not lanes:
             return []
-        if self._dense is not None and data.dtype == np.uint8:
+        if self._dense is not None and data.dtype in (
+            np.uint8,
+            np.uint16,
+        ):
             from tpu_pattern_matching.core.oracle_native import (
                 dense_match_windows,
             )

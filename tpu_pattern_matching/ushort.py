@@ -79,10 +79,18 @@ def lanes_from_sequences(
 
 
 def run_ushort_grep(args) -> int:
-    """Drive the metadata-sequence grep (the AC_ushorts ocl_aho_grep path)."""
+    """Drive the metadata-sequence grep (the AC_ushorts ocl_aho_grep path).
+
+    ``--engine auto/bloom`` probes the alphabet-2048 bloom filter and
+    verifies candidates with the symbol-width-generic native walker;
+    ``--engine dense/esc16`` walks the DFA on device (exact counts there)."""
+    engine = getattr(args, "engine", "auto")
+    use_bloom = engine in ("auto", "bloom")
     table = compile_signatures(args.pat_path, max_tokens=16)
-    dev = DeviceTable.put(table)
     groups = table.groups_as_lists()
+    dev = None if use_bloom else DeviceTable.put(
+        table, esc16=engine == "esc16"
+    )
 
     filenames = expand_paths(args.data_path)
     if not filenames:
@@ -114,22 +122,62 @@ def run_ushort_grep(args) -> int:
         stats.bytes += 2 * len(vals)
 
     data, start_t, end_t, file_ids, base_off = lanes_from_sequences(seqs, B, halo)
-    res = scan_batch(
-        dev, data, start_t, end_t, halo=halo, max_results=args.max_results
-    )
-    comp = compact_matches(dev, res)
     stats.rounds = 1
-    meta = np.asarray(comp.meta)
-    stats.matches_total = int(meta[0])
-    reported = int(meta[1])
-    stats.matches_reported = reported
-    if args.verbose and reported:
-        lane, pos, _state, gid, _rep = np.asarray(comp.packed)
-        for k in range(reported):
-            ln = int(lane[k])
+    events = []  # (lane, end_row_abs_off, pattern_indices)
+    if use_bloom:
+        from tpu_pattern_matching.ops.bloom import (
+            BloomFilterTable,
+            unpack_hit_rows,
+        )
+        from tpu_pattern_matching.runtime.verify import Verifier
+
+        bft = BloomFilterTable.from_table(table)
+        hits = bft.put().hits(data, np.stack([start_t, end_t]))
+        total = int(np.asarray(hits.meta)[0])
+        by_lane: dict[int, list[int]] = {}
+        if total:
+            rows, lanes_ = unpack_hit_rows(
+                np.asarray(hits.bits), bft.cfg.stride
+            )
+            for ln, row in zip(lanes_.tolist(), rows.tolist()):
+                by_lane.setdefault(ln, []).append(row)
+        verifier = Verifier(
+            [p.symbols for p in table.patterns],
+            alphabet_size=table.alphabet_size,
+            q=bft.cfg.q,
+            max_pat_len=table.max_pat_len,
+            dense_table=table,
+        )
+        grouped: dict[tuple[int, int], set[int]] = {}
+        for ln, e, pid in verifier.verify_batch(
+            data, by_lane, halo, start_t, end_t
+        ):
+            grouped.setdefault((ln, e), set()).add(pid)
+        for (ln, e), pids in sorted(grouped.items()):
+            off = int(base_off[ln]) + e - halo
+            events.append((ln, off, sorted(pids)))
+        stats.matches_total = len(events)
+        stats.matches_reported = len(events)
+    else:
+        res = scan_batch(
+            dev, data, start_t, end_t, halo=halo,
+            max_results=args.max_results,
+        )
+        comp = compact_matches(dev, res)
+        meta = np.asarray(comp.meta)
+        stats.matches_total = int(meta[0])
+        reported = int(meta[1])
+        stats.matches_reported = reported
+        if reported:
+            lane, pos, _state, gid, _rep = np.asarray(comp.packed)
+            for k in range(reported):
+                ln = int(lane[k])
+                off = int(base_off[ln]) + int(pos[k])
+                events.append((ln, off, groups[int(gid[k])]))
+    if args.verbose:
+        for ln, off, pids in events:
             fname = filenames[int(file_ids[ln])]
-            off = int(base_off[ln]) + int(pos[k])
-            for pidx in groups[int(gid[k])]:
+            for pidx in pids:
                 pat = table.patterns[pidx]
                 print(
                     f"Pattern {pat.iid} ('{pat.label}') found in file "

@@ -62,8 +62,17 @@ def main() -> None:
     from tpu_pattern_matching.engine import best_scan_total_fn
 
     table = build_workload()
-    C, B = 4096, 4096  # 16 MiB payload per scan
+    C, B = 4096, 4096  # ~16 MiB payload per scan
     scan_total, halo = best_scan_total_fn(table, C, B)
+    # align halo+B to the engine's row tiling so the device scans no
+    # zero-padded rows (every row is real payload)
+    try:
+        from tpu_pattern_matching.ops.bloom import BloomFilterTable
+
+        tt = BloomFilterTable.from_table(table).cfg.tile_rows
+        B += (-(halo + B)) % tt
+    except Exception:
+        pass
 
     rng = np.random.RandomState(7)
     data = jax.device_put(

@@ -46,6 +46,10 @@ class Verifier:
         self.threads = max(1, threads)
         self._dense = None
         self._oracle = None
+        if dense_table is not None and dense_table.nbytes > 512 << 20:
+            # a >0.5 GB dense table costs more host RAM than the fast
+            # walker is worth; the sparse-oracle path verifies instead
+            dense_table = None
         if dense_table is not None:
             try:
                 from tpu_pattern_matching.core import oracle_native

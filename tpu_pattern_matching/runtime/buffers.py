@@ -157,7 +157,7 @@ class DataBuffer:
         Bulk-reads all free lanes at once and assembles them with vectorized
         NumPy slicing (one reshape for payloads, one strided view for the
         intra-read halos) — the per-chunk Python loop caps a feeder thread
-        near 0.5 GB/s, ~100x below the device scan rate.
+        near 0.5 GB/s, an order of magnitude below the device scan rate.
         """
         H, B = self.halo, self.chunk_len
         # native fast path: preadv straight into the batch (no intermediate

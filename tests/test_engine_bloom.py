@@ -192,3 +192,24 @@ def test_bloom_table_save_load(tmp_path):
     np.testing.assert_array_equal(back.words, bft.words)
     assert back.max_pat_len == bft.max_pat_len
     assert back.n_grams == bft.n_grams
+
+
+def test_vectorized_window_merge_matches_scalar():
+    # merged_windows (NumPy interval merge) must equal windows_for per lane
+    from tpu_pattern_matching.runtime.verify import Verifier
+
+    rng = np.random.RandomState(11)
+    v = Verifier([b"abcdefgh"], q=3, max_pat_len=8)
+    C, T, N = 6, 200, 300
+    start_t = rng.randint(0, 10, size=C).astype(np.int64)
+    end_t = rng.randint(100, T, size=C).astype(np.int64)
+    lanes = rng.randint(0, C, size=N)
+    rows = rng.randint(0, T, size=N)
+    m_lane, m_w0, m_w1 = v.merged_windows(lanes, rows, start_t, end_t)
+    got = sorted(zip(m_lane.tolist(), m_w0.tolist(), m_w1.tolist()))
+    want = []
+    for ln in range(C):
+        rs = [int(r) for l, r in zip(lanes, rows) if l == ln]
+        for w0, w1 in v.windows_for(rs, int(start_t[ln]), int(end_t[ln])):
+            want.append((ln, w0, w1))
+    assert got == sorted(want)

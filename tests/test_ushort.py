@@ -150,16 +150,15 @@ def test_ushort_bloom_ops_parity_vs_oracle():
     start_t[2] = halo - 2
     end_t = np.full(C, halo + B, np.int32)
     hits = bft.put().hits(data, np.stack([start_t, end_t]))
-    by_lane = {}
     rows, lanes_ = unpack_hit_rows(np.asarray(hits.bits), bft.cfg.stride)
-    for ln, row in zip(lanes_.tolist(), rows.tolist()):
-        by_lane.setdefault(ln, []).append(row)
     v = Verifier([p.symbols for p in table.patterns], alphabet_size=2048,
                  q=bft.cfg.q, max_pat_len=table.max_pat_len,
                  dense_table=table)
     got = sorted(
         (ln, e, pid)
-        for ln, e, pid in v.verify_batch(data, by_lane, halo, start_t, end_t)
+        for ln, e, pid in v.verify_batch(
+            data, lanes_, rows, halo, start_t, end_t
+        )
     )
     want = []
     for ln in range(C):

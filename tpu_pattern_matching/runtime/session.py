@@ -193,16 +193,15 @@ class MatchSession:
         from tpu_pattern_matching.ops.bloom import unpack_hit_rows
 
         total = int(np.asarray(comp.meta)[0])
-        by_lane: dict[int, list[int]] = {}
         if total:
             rows, lanes = unpack_hit_rows(
                 np.asarray(comp.bits), self.bloom_table.cfg.stride
             )
-            for ln, row in zip(lanes.tolist(), rows.tolist()):
-                by_lane.setdefault(ln, []).append(row)
+        else:
+            rows = lanes = np.zeros(0, np.int64)
         grouped: dict[tuple[int, int], set[int]] = {}
         for ln, e, pid in self._verifier.verify_batch(
-            batch.data, by_lane, batch.halo, batch.start_t, batch.end_t
+            batch.data, lanes, rows, batch.halo, batch.start_t, batch.end_t
         ):
             grouped.setdefault((ln, e), set()).add(pid)
         keys = sorted(grouped.keys()) if self.sort else list(grouped.keys())

@@ -131,31 +131,73 @@ class Verifier:
                     events.append((e, int(pid)))
         return events
 
+    def merged_windows(
+        self,
+        cand_lanes: np.ndarray,  # [N] candidate gram lanes
+        cand_rows: np.ndarray,  # [N] candidate gram start rows
+        start_t: np.ndarray,  # [C]
+        end_t: np.ndarray,  # [C]
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Vectorized per-lane interval merge of candidate verify windows.
+
+        Same geometry as :meth:`windows_for`, but O(N log N) NumPy instead
+        of a per-candidate Python loop — the decode path's host cost on
+        match-heavy batches. Returns (lanes, w0s, w1s) of disjoint windows.
+        """
+        if len(cand_rows) == 0:
+            empty = np.zeros(0, np.int64)
+            return empty.astype(np.int32), empty, empty
+        pad_l = self.lmax - self.q
+        lanes = np.asarray(cand_lanes, np.int64)
+        rows = np.asarray(cand_rows, np.int64)
+        lo = np.asarray(start_t, np.int64)[lanes]
+        hi = np.asarray(end_t, np.int64)[lanes]
+        w0 = np.maximum(lo, rows - pad_l)
+        w1 = np.minimum(hi, rows + self.lmax)
+        keep = w1 > w0
+        lanes, w0, w1 = lanes[keep], w0[keep], w1[keep]
+        if len(w0) == 0:
+            empty = np.zeros(0, np.int64)
+            return empty.astype(np.int32), empty, empty
+        # linearize lanes so intervals of different lanes can never touch,
+        # then one global interval merge
+        span = int(w1.max()) + 1
+        k0 = lanes * span + w0
+        k1 = lanes * span + w1
+        order = np.argsort(k0, kind="stable")
+        k0, k1 = k0[order], k1[order]
+        cummax = np.maximum.accumulate(k1)
+        new_grp = np.empty(len(k0), bool)
+        new_grp[0] = True
+        new_grp[1:] = k0[1:] > cummax[:-1]
+        starts_idx = np.flatnonzero(new_grp)
+        m_k0 = k0[starts_idx]
+        m_k1 = np.maximum.reduceat(k1, starts_idx)
+        # cummax guarantees groups are disjoint; recover (lane, w0, w1)
+        m_lane = (m_k0 // span).astype(np.int32)
+        return m_lane, m_k0 % span, m_k1 - m_lane.astype(np.int64) * span
+
     def verify_batch(
         self,
         data: np.ndarray,  # [C, T] uint8 lane-major batch
-        by_lane: dict[int, list[int]],  # candidate gram rows per lane
+        cand_lanes: np.ndarray,  # [N] candidate gram lanes
+        cand_rows: np.ndarray,  # [N] candidate gram start rows
         halo: int,
         start_t: np.ndarray,  # [C]
         end_t: np.ndarray,  # [C]
     ) -> list[tuple[int, int, int]]:
         """All exact (lane, end_row, pattern_index) events for one batch.
 
-        Builds merged windows for every lane, then verifies them in ONE
-        native call (oracle_match_windows) — the per-window Python loop is
-        the fallback when the C++ oracle could not be built."""
-        lanes: list[int] = []
-        w0s: list[int] = []
-        w1s: list[int] = []
-        khis: list[int] = []
-        for ln in sorted(by_lane):
-            for w0, w1 in self.windows_for(
-                by_lane[ln], int(start_t[ln]), int(end_t[ln])
-            ):
-                lanes.append(ln)
-                w0s.append(w0)
-                w1s.append(w1)
-                khis.append(int(end_t[ln]))
+        Merges candidate windows (vectorized), then verifies them in ONE
+        native call — the per-window Python loop is the fallback when the
+        C++ oracle could not be built."""
+        m_lane, m_w0, m_w1 = self.merged_windows(
+            cand_lanes, cand_rows, start_t, end_t
+        )
+        lanes = m_lane.tolist()
+        w0s = m_w0.tolist()
+        w1s = m_w1.tolist()
+        khis = np.asarray(end_t, np.int64)[m_lane].tolist()
         if not lanes:
             return []
         if self._dense is not None and data.dtype in (

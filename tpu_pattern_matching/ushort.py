@@ -134,13 +134,12 @@ def run_ushort_grep(args) -> int:
         bft = BloomFilterTable.from_table(table)
         hits = bft.put().hits(data, np.stack([start_t, end_t]))
         total = int(np.asarray(hits.meta)[0])
-        by_lane: dict[int, list[int]] = {}
         if total:
             rows, lanes_ = unpack_hit_rows(
                 np.asarray(hits.bits), bft.cfg.stride
             )
-            for ln, row in zip(lanes_.tolist(), rows.tolist()):
-                by_lane.setdefault(ln, []).append(row)
+        else:
+            rows = lanes_ = np.zeros(0, np.int64)
         verifier = Verifier(
             [p.symbols for p in table.patterns],
             alphabet_size=table.alphabet_size,
@@ -150,7 +149,7 @@ def run_ushort_grep(args) -> int:
         )
         grouped: dict[tuple[int, int], set[int]] = {}
         for ln, e, pid in verifier.verify_batch(
-            data, by_lane, halo, start_t, end_t
+            data, lanes_, rows, halo, start_t, end_t
         ):
             grouped.setdefault((ln, e), set()).add(pid)
         for (ln, e), pids in sorted(grouped.items()):

@@ -24,11 +24,23 @@ def bloom_session(pats, **kw):
     return MatchSession(compile_patterns(pats), **kw)
 
 
-def test_auto_selects_bloom_for_bytes():
+def test_auto_engine_platform_aligned():
+    # auto = bloom only on TPU platforms (ADVICE round 1: on CPU the Pallas
+    # probe runs in interpret mode — correct but orders of magnitude
+    # slower); this suite runs on the CPU mesh, so auto must pick dense
+    from tpu_pattern_matching.engine import on_tpu
+
     sess = MatchSession(compile_patterns([b"abcd"]), max_chunks=2,
                         chunk_len=64)
-    assert sess.engine == "bloom"
-    assert sess.dev is None  # no DFA table shipped to the device
+    if on_tpu():
+        assert sess.engine == "bloom"
+        assert sess.dev is None  # no DFA table shipped to the device
+    else:
+        assert sess.engine == "dense"
+    # forcing bloom always works regardless of platform
+    forced = MatchSession(compile_patterns([b"abcd"]), max_chunks=2,
+                          chunk_len=64, engine="bloom")
+    assert forced.engine == "bloom" and forced.dev is None
 
 
 def test_simple_words():

@@ -90,3 +90,57 @@ def test_follow_mode_growing_file(tmp_path):
         fh.write(b"b" * 128)
     assert done.wait(15), "follow mode never saw appended data"
     assert sum(got) >= 192
+
+
+def test_follow_mode_fifo_trickle(tmp_path):
+    # FIFOs must work in follow mode (reference README:19-22): the worker
+    # must not seek the handle (ESPIPE) and must deliver trickle-fed data
+    # without waiting for a full buffer
+    p = tmp_path / "pipe"
+    os.mkfifo(p)
+    f = Feeder([str(p)], n_workers=1, max_chunks=4, chunk_len=64, halo=0,
+               follow=True)
+    f.start()
+
+    def produce():
+        with open(p, "wb") as fh:
+            for _ in range(3):
+                fh.write(b"z" * 50)  # less than one chunk per write
+                fh.flush()
+                time.sleep(0.15)
+
+    t = threading.Thread(target=produce, daemon=True)
+    t.start()
+
+    got = 0
+    deadline = time.time() + 20
+    for item in f:
+        got += item.bytes
+        if got >= 150:
+            f.stop()
+        if time.time() > deadline:
+            f.stop()
+    assert got == 150
+
+
+def test_feeder_error_propagates(tmp_path):
+    # a worker failure must surface to the consumer loop, not end iteration
+    # silently (the reference fails loud with ERRX; silence drops matches)
+    missing = str(tmp_path / "never_existed.bin")
+    f = Feeder([missing], n_workers=1, max_chunks=4, chunk_len=64, halo=0)
+    f.start()
+    with pytest.raises(RuntimeError, match="never_existed"):
+        for _ in f:
+            pass
+
+
+def test_feeder_error_mid_stream(tmp_path):
+    # file disappears between open and read rounds: unreadable handle mid-
+    # stream must also fail loud (here: a directory masquerading as a file)
+    p = tmp_path / "adir"
+    p.mkdir()
+    f = Feeder([str(p)], n_workers=1, max_chunks=4, chunk_len=64, halo=0)
+    f.start()
+    with pytest.raises(RuntimeError):
+        for _ in f:
+            pass

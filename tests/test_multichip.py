@@ -142,3 +142,87 @@ def test_sharded_bloom_equals_unsharded():
     )
     assert int(totalN[0]) == int(total1[0]) > 0
     np.testing.assert_array_equal(np.asarray(bitsN), np.asarray(bits1))
+
+
+def test_session_mesh_product_path(mesh_ctx):
+    # VERDICT round-1 item 1: the multi-chip path must be reachable from
+    # MatchSession itself, both engines, oracle-exact
+    patterns = [b"\xde\xad\xbe\xef", b"needle!", b"abcab"]
+    data, _ = planted_binary(77, 1 << 14, patterns, 25)
+    expect = sorted(match_python(patterns, data))
+    for engine in ("bloom", "dense"):
+        sess = MatchSession(
+            compile_patterns(patterns),
+            max_chunks=16,
+            chunk_len=128,
+            engine=engine,
+            mesh=mesh_ctx,
+        )
+        # lane alignment: bloom pads to mesh*128, dense to mesh size
+        assert sess.max_chunks % mesh_ctx.num_devices == 0
+        if engine == "bloom":
+            assert sess.max_chunks % (mesh_ctx.num_devices * 128) == 0
+        assert sess.find(data) == expect
+
+
+def test_session_mesh_bloom_group_counts(mesh_ctx):
+    # BASELINE config 5 on the flagship engine: per-group counts from the
+    # bloom engine's verified events must equal the dense psum path
+    import io
+
+    patterns = [b" alpha ", b" beta ", b" gamma "]
+    words = (b" alpha  beta  alpha  gamma " * 40) + b" beta "
+    table = compile_patterns(patterns)
+
+    sess_b = MatchSession(table, max_chunks=16, chunk_len=64,
+                          engine="bloom", mesh=mesh_ctx)
+    got = np.zeros(table.num_groups, np.int64)
+    for bm in sess_b.scan_stream(io.BytesIO(words)):
+        got += sess_b.event_group_counts(bm)
+
+    # dense reference: the sharded psum step
+    from tpu_pattern_matching.ops.table import DeviceTable
+
+    halo = table.max_pat_len - 1
+    C = 8 * mesh_ctx.num_devices
+    buf = DataBuffer(C, 64, halo)
+    buf.add_stream(io.BytesIO(words), StreamState(file_id=0))
+    batch = buf.to_batch()
+    dev = DeviceTable.put(table, mesh_ctx.replicated)
+    step = make_sharded_scan_step(
+        mesh_ctx, dev, halo=halo, max_results=16,
+        num_groups=table.num_groups,
+    )
+    *_, gcounts = step(
+        dev.table_flat, dev.state_gid,
+        jax.device_put(batch.data, mesh_ctx.lane_sharded),
+        batch.start_t, batch.end_t,
+    )
+    np.testing.assert_array_equal(got, np.asarray(gcounts))
+
+    # host-count allreduce helper is a no-op single-process
+    from tpu_pattern_matching.parallel.mesh import allreduce_host_counts
+
+    np.testing.assert_array_equal(allreduce_host_counts(got), got)
+
+
+def test_sharded_bloom_rejects_unaligned_lanes(mesh_ctx):
+    # ADVICE round 1: an unaligned per-shard lane count would silently
+    # corrupt the bitmap's column->lane mapping; it must be a loud error
+    from tpu_pattern_matching.ops.bloom import BloomFilterTable
+    from tpu_pattern_matching.parallel.mesh import make_sharded_bloom_step
+
+    table = compile_patterns([b"abcdef"])
+    bft = BloomFilterTable.from_table(table)
+    step = make_sharded_bloom_step(mesh_ctx, bft.put(mesh_ctx.replicated))
+    n = mesh_ctx.num_devices
+    lanes = 64 * n  # 64 per shard: NOT a multiple of 128
+    data = np.zeros((lanes, 256), np.uint8)
+    bounds = np.stack([np.zeros(lanes, np.int32),
+                       np.full(lanes, 256, np.int32)])
+    with pytest.raises(ValueError, match="128"):
+        step(
+            bft.put(mesh_ctx.replicated).words,
+            jax.device_put(data, mesh_ctx.lane_sharded),
+            jax.device_put(bounds, mesh_ctx.lane_sharded2d),
+        )

@@ -172,3 +172,30 @@ def test_ushort_bloom_ops_parity_vs_oracle():
                 want.append((ln, e_row, pid))
     assert got == sorted(want)
     assert len(got) >= 3
+
+
+def test_uint16_verify_without_dense_walker():
+    # ADVICE round 1 (high): when the dense window walker is unavailable
+    # (e.g. the >512MB table guard at large 2048-alphabet scale), uint16
+    # windows fall back to the sparse oracle — which must receive symbol
+    # arrays, not bytes() (that would split each uint16 into two bytes and
+    # match nothing)
+    import numpy as np
+
+    from tpu_pattern_matching.runtime.verify import Verifier
+
+    v = Verifier(
+        [[300, 500, 700]], alphabet_size=2048, q=1, max_pat_len=3,
+        dense_table=None,
+    )
+    data = np.zeros((1, 16), np.uint16)
+    data[0, 5:8] = [300, 500, 700]
+    events = v.verify_batch(
+        data,
+        cand_lanes=np.asarray([0], np.int64),
+        cand_rows=np.asarray([5], np.int64),
+        halo=0,
+        start_t=np.zeros(1, np.int32),
+        end_t=np.full(1, 16, np.int32),
+    )
+    assert events == [(0, 7, 0)]

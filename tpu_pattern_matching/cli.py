@@ -76,6 +76,14 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--ushort", action="store_true", help="packet-metadata mode")
     ap.add_argument("--sort", action="store_true")
     ap.add_argument(
+        "--mesh",
+        default=None,
+        metavar="N|all",
+        help="data-parallel multi-chip scan: shard batch lanes over the "
+        "first N devices (or all of them); the filter/DFA table "
+        "replicates and survivor totals psum-reduce",
+    )
+    ap.add_argument(
         "--engine",
         choices=("auto", "bloom", "dense", "esc16"),
         default="auto",
@@ -159,6 +167,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.dev_pos >= len(devs):
         print(f"ERROR: device position {args.dev_pos} not available", file=sys.stderr)
         sys.exit(2)
+    mesh = None
+    if args.mesh is not None:
+        mesh = "all" if args.mesh in ("all", "auto") else int(args.mesh)
 
     table = compile_table(args)
 
@@ -174,12 +185,17 @@ def main(argv: list[str] | None = None) -> int:
         max_results=args.max_results,
         sort=args.sort,
         engine=args.engine,
+        mesh=mesh,
+        # -D selects the pos-th device (the reference's clinitctx device
+        # walk, ocl_context.c:18-85); a mesh supersedes single-device pinning
+        device=None if mesh is not None else args.dev_pos,
     )
 
     feeder = Feeder(
         filenames,
         n_workers=args.thread_no,
-        max_chunks=args.global_ws,
+        # the session may round max_chunks up for mesh lane alignment
+        max_chunks=sess.max_chunks,
         chunk_len=args.chunk_size,
         halo=sess.halo,
         text_mode=args.text_mode,
@@ -202,23 +218,54 @@ def main(argv: list[str] | None = None) -> int:
 
     from tpu_pattern_matching.runtime.tracing import device_trace
 
+    def context_echo(batch, ev, pat_n: int) -> str:
+        """The reference's match-context echo (ocl_aho_grep.c:289-303):
+        text mode prints the matched line; binary mode a +-10-byte window
+        around the occurrence, cut at the first newline."""
+        row = batch.data[ev.lane]
+        lo = int(batch.start_t[ev.lane])
+        hi = int(batch.end_t[ev.lane])
+        if args.text_mode:
+            return bytes(row[batch.halo : hi]).decode(
+                "latin-1", "replace"
+            ).rstrip("\n")
+        end_row = batch.halo + int(ev.end_offset - batch.base_off[ev.lane])
+        w0 = max(lo, end_row - pat_n + 1 - 10)
+        w1 = min(hi, end_row + 1 + 10)
+        window = bytes(row[w0:w1])
+        nl = window.find(b"\n")
+        if nl != -1:
+            window = window[:nl]
+        return " ... " + window.decode("latin-1", "replace") + " ... "
+
     def consume(item, comp):
         bm = sess.decode(item.batch, comp)
         stats.rounds += 1
         stats.bytes += item.bytes
         stats.lines += item.lines
         stats.matches_total += bm.total
+        # NOTE "Matches reported" counts expanded pattern ids (one per
+        # pattern in a co-terminating group); the reference counts stored
+        # result slots, which DROPS all but the group head (acsmx.c:645-651)
         stats.matches_reported += sum(len(e.pattern_indices) for e in bm.events)
+        if bm.overflowed:
+            print(
+                f"WARNING: result slots overflowed: {bm.total - bm.reported} "
+                f"match(es) not reported this round (raise -R)",
+                file=sys.stderr,
+            )
         if args.verbose:
             for ev in bm.events:
                 fname = filenames[ev.file_id]
                 for pidx in ev.pattern_indices:
                     pat = table.patterns[pidx]
                     start_off = ev.end_offset - pat.n + 1
+                    rel = start_off - int(item.batch.base_off[ev.lane])
                     print(
                         f"Pattern {pat.iid} ('{pat.label}') found in file "
-                        f"'{fname}' at offset {start_off} [end: {ev.end_offset}]"
+                        f"'{fname}' at offset {start_off} [relative: {rel}]"
                     )
+                    print(context_echo(item.batch, ev, pat.n))
 
     start = now_us()
     with device_trace(args.profile):

@@ -49,6 +49,30 @@ def make_mesh(devices=None, axis: str = "data") -> Mesh:
     return Mesh(devices.reshape(-1), (axis,))
 
 
+def as_mesh_context(spec) -> "MeshContext":
+    """Coerce a user-facing mesh spec into a MeshContext.
+
+    Accepts a MeshContext, a Mesh, an int (first-N devices), or the
+    strings "all"/"auto" (every visible device) — the session/CLI entry
+    point for the multi-chip path (the capability the reference only has
+    as N worker threads each owning a device, ocl_aho_grep.c:494-502).
+    """
+    if isinstance(spec, MeshContext):
+        return spec
+    if isinstance(spec, Mesh):
+        return MeshContext(spec)
+    if spec in ("all", "auto", True):
+        return MeshContext(make_mesh())
+    if isinstance(spec, int):
+        devs = jax.devices()
+        if spec < 1 or spec > len(devs):
+            raise ValueError(
+                f"mesh size {spec} not available ({len(devs)} devices)"
+            )
+        return MeshContext(make_mesh(devs[:spec]))
+    raise TypeError(f"cannot build a mesh from {spec!r}")
+
+
 @dataclasses.dataclass
 class MeshContext:
     """Sharding bundle for the data-parallel scan."""
@@ -128,6 +152,20 @@ def make_sharded_scan_step(
     return step
 
 
+def allreduce_host_counts(counts: np.ndarray) -> np.ndarray:
+    """Sum per-host count vectors across processes.
+
+    The host-side half of the bloom engine's psum count path (BASELINE
+    config 5): each process counts the events it verified locally, then
+    the vectors reduce over DCN. No-op single-process."""
+    if jax.process_count() == 1:
+        return np.asarray(counts)
+    from jax.experimental import multihost_utils
+
+    gathered = multihost_utils.process_allgather(np.asarray(counts))
+    return np.asarray(gathered).reshape(jax.process_count(), -1).sum(axis=0)
+
+
 def make_sharded_bloom_step(ctx: MeshContext, bloom):
     """Build the jitted multi-chip bloom-filter step (the flagship engine).
 
@@ -148,6 +186,16 @@ def make_sharded_bloom_step(ctx: MeshContext, bloom):
     axis = ctx.axis
 
     def local_step(words, data, bounds):
+        # each shard pads its local lane count to the 128-lane tile width
+        # inside _hits_jit; an unaligned shard would shift the global
+        # bitmap's column->lane mapping per shard (shard d's lane l lands
+        # at d*Cpad+l, not d*C_local+l) and silently corrupt the decode
+        C_local = data.shape[0]
+        if C_local % 128:
+            raise ValueError(
+                f"per-device lane count {C_local} must be a multiple of "
+                f"128 (pad the batch to mesh_size*128 lanes)"
+            )
         total, bits = _hits_jit(
             data, bounds, words, cfg=cfg,
             interpret=DeviceBloom._interpret(),

@@ -11,15 +11,24 @@ thread, SURVEY.md section 3.2).
 
 Follow mode (``-F``, README:19-22): feeders loop back over their file set,
 re-reading appended data from the saved per-stream offset, so growing files
-and FIFOs are processed continuously.
+and FIFOs are processed continuously. FIFOs are opened non-blocking and read
+partially (``_FifoReader``) — a trickle-fed pipe yields timely batches
+instead of blocking the worker until a full buffer accumulates.
+
+Errors are loud: a worker exception (unreadable file, vanished file, ...)
+surfaces to the consumer loop as a raised RuntimeError, matching the
+reference's fail-loud ERRX discipline (e.g. databuf.c:109) — silent
+end-of-iteration would silently drop matches.
 """
 
 from __future__ import annotations
 
 import dataclasses
+import os
 import queue
+import select
+import stat
 import threading
-from typing import Callable
 
 from tpu_pattern_matching.runtime.buffers import DataBuffer, HostBatch, StreamState
 
@@ -31,7 +40,79 @@ class FeedItem:
     bytes: int
 
 
+@dataclasses.dataclass
+class FeedError:
+    """A worker failure, delivered in-band so the consumer can fail loud."""
+
+    filename: str
+    error: BaseException
+
+
 _SENTINEL = None
+
+
+class _FifoReader:
+    """Partial, timeout-bounded reads from a FIFO (or any pipe-like fd).
+
+    ``open()`` + buffered ``read(n)`` would block until n bytes arrive — a
+    trickle-fed FIFO would starve the feeder (and ``seek`` raises ESPIPE).
+    Non-blocking open + select-gated ``os.read`` returns whatever is
+    available now; ``b""`` means "nothing yet", which follow mode treats as
+    quiescence, not EOF.
+    """
+
+    def __init__(self, path: str, timeout: float = 0.05):
+        self._fd = os.open(path, os.O_RDONLY | os.O_NONBLOCK)
+        self._buf = bytearray()
+        self._timeout = timeout
+
+    def seekable(self) -> bool:
+        return False
+
+    def _fill(self, n: int) -> None:
+        r, _, _ = select.select([self._fd], [], [], self._timeout)
+        if not r:
+            return
+        try:
+            self._buf += os.read(self._fd, max(n, 1 << 16))
+        except BlockingIOError:
+            pass
+
+    def read(self, n: int) -> bytes:
+        if len(self._buf) < n:
+            self._fill(n - len(self._buf))
+        out = bytes(self._buf[:n])
+        del self._buf[:n]
+        return out
+
+    def readline(self, limit: int) -> bytes:
+        """One line (or a limit-sized fragment); b"" when nothing complete
+        is available yet (a partial line stays buffered for the next
+        visit)."""
+        while True:
+            nl = self._buf.find(b"\n")
+            if nl != -1 or len(self._buf) >= limit:
+                k = min(nl + 1 if nl != -1 else limit, limit)
+                out = bytes(self._buf[:k])
+                del self._buf[:k]
+                return out
+            before = len(self._buf)
+            self._fill(1 << 16)
+            if len(self._buf) == before:
+                return b""
+
+    def close(self) -> None:
+        os.close(self._fd)
+
+
+def _open_input(path: str):
+    """Open one input for streaming: FIFOs get the non-blocking partial
+    reader, regular files a plain buffered handle."""
+    try:
+        is_fifo = stat.S_ISFIFO(os.stat(path).st_mode)
+    except OSError:
+        is_fifo = False
+    return _FifoReader(path) if is_fifo else open(path, "rb")
 
 
 class Feeder:
@@ -76,6 +157,7 @@ class Feeder:
                 pend_bytes = 0
                 pend_lines = 0
 
+        cur = -1
         try:
             while not self.terminate.is_set():
                 progressed = False
@@ -84,10 +166,12 @@ class Feeder:
                     if self.terminate.is_set():
                         break
                     if cur not in handles:
-                        handles[cur] = open(self.filenames[cur], "rb")
+                        handles[cur] = _open_input(self.filenames[cur])
                         streams[cur] = StreamState(file_id=cur)
-                    else:
-                        # follow mode: seek back to where we left off
+                    elif handles[cur].seekable():
+                        # follow mode, regular file: pick up appended data
+                        # from where this stream left off (FIFOs are not
+                        # seekable — their reader tracks position itself)
                         handles[cur].seek(streams[cur].offset)
                     fobj, stream = handles[cur], streams[cur]
                     while True:
@@ -115,6 +199,13 @@ class Feeder:
                     flush()
                     self.terminate.wait(0.05)
             flush()
+        except BaseException as e:  # fail loud (reference ERRX discipline)
+            fname = (
+                self.filenames[cur]
+                if 0 <= cur < len(self.filenames)
+                else "<feeder>"
+            )
+            self.q.put(FeedError(filename=fname, error=e))
         finally:
             for h in handles.values():
                 try:
@@ -141,4 +232,9 @@ class Feeder:
             if item is _SENTINEL:
                 done += 1
                 continue
+            if isinstance(item, FeedError):
+                self.stop()
+                raise RuntimeError(
+                    f"feeder failed on '{item.filename}': {item.error!r}"
+                ) from item.error
             yield item

@@ -22,12 +22,19 @@ from tpu_pattern_matching.runtime.buffers import DataBuffer, HostBatch, StreamSt
 @dataclasses.dataclass
 class MatchEvent:
     """One decoded match: absolute END offset of the occurrence in its file,
-    the full pattern-index set ending there, and the representative id."""
+    the full pattern-index set ending there, and the representative id.
+
+    ``lane`` is the batch lane the match was found in (for context echo —
+    the reference's callback receives the chunk id, ocl_aho_grep.c:272);
+    ``gid`` is the match-group id (patterns co-terminating at the final
+    state; -1 when unknown)."""
 
     file_id: int
     end_offset: int
     pattern_indices: list[int]
     rep_index: int
+    lane: int = -1
+    gid: int = -1
 
     def expand(self) -> Iterator[tuple[int, int]]:
         for p in self.pattern_indices:
@@ -57,6 +64,8 @@ class MatchSession:
         sort: bool = False,
         engine: str = "auto",
         bloom_opts: dict | None = None,
+        mesh=None,
+        device=None,
     ):
         """``engine`` selects the device scan:
 
@@ -68,18 +77,71 @@ class MatchSession:
         - "esc16" — dense + escape-encoded int16 fast path (opt-in; the
           narrower gathers don't pay on real TPUs, where XLA serializes
           both walks per element).
-        - "auto" (default) — bloom on byte-alphabet tables, dense otherwise.
+        - "auto" (default) — bloom for byte-alphabet tables on TPU
+          platforms; dense otherwise (on CPU the Pallas probe would run in
+          interpret mode — correct but orders of magnitude slower; pass
+          engine="bloom" explicitly to force it, e.g. in tests).
+
+        ``mesh`` turns on the data-parallel multi-chip path: lanes shard
+        across the mesh, the filter/DFA table replicates, survivor totals
+        psum-reduce (the capability the reference approximates with N
+        worker threads each owning one device, ocl_aho_grep.c:494-502).
+        Accepts a MeshContext, a Mesh, an int (first N devices), or
+        "all". ``device`` selects a single device by index or handle (the
+        reference's ``-D devpos``, ocl_context.c:18-85); mutually
+        exclusive with ``mesh``.
         """
-        from tpu_pattern_matching.utils.common import pad_halo
+        from tpu_pattern_matching.utils.common import pad_halo, roundup
 
         if engine == "auto":
-            engine = "bloom" if table.alphabet_size == 256 else "dense"
+            from tpu_pattern_matching.engine import on_tpu
+
+            engine = (
+                "bloom"
+                if table.alphabet_size == 256 and on_tpu()
+                else "dense"
+            )
         if engine not in ("esc16", "dense", "bloom"):
             raise ValueError(f"unknown engine {engine!r}")
         self.engine = engine
         self.table = table
         self._bloom = None
         self._verifier = None
+        self._mesh_ctx = None
+        self._bloom_step = None
+        self.device = None
+        self.data_sharding = None
+        bounds_sharding = None
+        if mesh is not None and device is not None:
+            raise ValueError("pass mesh= or device=, not both")
+        if mesh is not None:
+            from tpu_pattern_matching.parallel.mesh import as_mesh_context
+
+            ctx = as_mesh_context(mesh)
+            self._mesh_ctx = ctx
+            # per-shard lanes must stay 128-aligned for the bloom bitmap's
+            # column->lane mapping (see make_sharded_bloom_step); dense
+            # lanes just need to divide evenly
+            align = (
+                ctx.num_devices * 128
+                if engine == "bloom"
+                else ctx.num_devices
+            )
+            if max_chunks % align:
+                max_chunks = roundup(max_chunks, align)
+            sharding = ctx.replicated
+            self.data_sharding = ctx.lane_sharded
+            bounds_sharding = ctx.lane_sharded2d
+        elif device is not None:
+            import jax
+
+            self.device = (
+                jax.devices()[device] if isinstance(device, int) else device
+            )
+            sharding = self.device
+            self.data_sharding = self.device
+            bounds_sharding = self.device
+        self._bounds_sharding = bounds_sharding
         if engine == "bloom":
             from tpu_pattern_matching.ops.bloom import BloomFilterTable
             from tpu_pattern_matching.runtime.verify import Verifier
@@ -96,6 +158,14 @@ class MatchSession:
                 dense_table=table,  # fast native window walker
             )
             self.dev = None  # the big DFA table never ships to the device
+            if self._mesh_ctx is not None:
+                from tpu_pattern_matching.parallel.mesh import (
+                    make_sharded_bloom_step,
+                )
+
+                self._bloom_step = make_sharded_bloom_step(
+                    self._mesh_ctx, self._bloom
+                )
         else:
             self.dev = DeviceTable.put(
                 table, sharding, esc16=engine == "esc16"
@@ -108,7 +178,9 @@ class MatchSession:
         self.max_results = max_results
         self.sort = sort
         self._groups = table.groups_as_lists()
-        self.data_sharding = None  # set by parallel.mesh helpers
+        self._gid_of_pidset = {
+            tuple(sorted(pids)): g for g, pids in enumerate(self._groups)
+        }
 
     # ------------------------------------------------------------- plumbing
 
@@ -118,17 +190,25 @@ class MatchSession:
     def scan(self, batch: HostBatch):
         """Device scan + compaction (+ sort) of one batch — ONE dispatch.
 
-        Returns CompactMatches (dense/esc16) or BloomHits (bloom)."""
+        Returns CompactMatches (dense/esc16) or BloomHits (bloom). With a
+        ``mesh``, lanes are sharded across it before dispatch and the bloom
+        probe runs under shard_map with a psum-reduced survivor total."""
         import numpy as _np
 
         from tpu_pattern_matching.ops.compact import scan_and_compact
 
         data = batch.data
+        bounds = _np.stack([batch.start_t, batch.end_t])
         if self.data_sharding is not None:
             import jax
 
             data = jax.device_put(data, self.data_sharding)
-        bounds = _np.stack([batch.start_t, batch.end_t])
+            bounds = jax.device_put(bounds, self._bounds_sharding)
+        if self._bloom_step is not None:
+            from tpu_pattern_matching.ops.bloom import BloomHits
+
+            total, bits = self._bloom_step(self._bloom.words, data, bounds)
+            return BloomHits(meta=total, bits=bits)
         if self._bloom is not None:
             return self._bloom.hits(data, bounds)
         return scan_and_compact(
@@ -176,6 +256,8 @@ class MatchSession:
                     end_offset=int(batch.base_off[ln]) + int(pos[k]),
                     pattern_indices=pids,
                     rep_index=pids[0],
+                    lane=ln,
+                    gid=g,
                 )
             )
         return BatchMatches(
@@ -185,18 +267,43 @@ class MatchSession:
             overflowed=total > reported,
         )
 
+    def _candidate_rows(self, comp) -> tuple[np.ndarray, np.ndarray]:
+        """(rows, lanes) of candidate grams from the survivor bitmap.
+
+        Multi-process meshes: the global bitmap is not fully addressable,
+        so each host decodes only its own lane columns (global lane ids
+        recovered from the shard's index) — the host-local half of the
+        data-parallel layout."""
+        from tpu_pattern_matching.ops.bloom import unpack_hit_rows
+
+        stride = self.bloom_table.cfg.stride
+        bits = comp.bits
+        if getattr(bits, "is_fully_addressable", True):
+            return unpack_hit_rows(np.asarray(bits), stride)
+        rows_parts: list[np.ndarray] = []
+        lane_parts: list[np.ndarray] = []
+        seen: set[int] = set()
+        for sh in bits.addressable_shards:
+            col0 = sh.index[1].start or 0
+            if col0 in seen:  # replicated rows: decode each shard once
+                continue
+            seen.add(col0)
+            r, l = unpack_hit_rows(np.asarray(sh.data), stride)
+            rows_parts.append(r)
+            lane_parts.append(l + col0)
+        if not rows_parts:
+            z = np.zeros(0, np.int64)
+            return z, z
+        return np.concatenate(rows_parts), np.concatenate(lane_parts)
+
     def _decode_bloom(self, batch: HostBatch, comp) -> BatchMatches:
         """Verify device candidates exactly on the host (runtime/verify.py).
 
         Two transfers max: the popcount total (4 bytes), then the complete
         survivor bitmap only when total > 0 — there is no capacity cap."""
-        from tpu_pattern_matching.ops.bloom import unpack_hit_rows
-
         total = int(np.asarray(comp.meta)[0])
         if total:
-            rows, lanes = unpack_hit_rows(
-                np.asarray(comp.bits), self.bloom_table.cfg.stride
-            )
+            rows, lanes = self._candidate_rows(comp)
         else:
             rows = lanes = np.zeros(0, np.int64)
         grouped: dict[tuple[int, int], set[int]] = {}
@@ -214,6 +321,8 @@ class MatchSession:
                     end_offset=int(batch.base_off[ln]) + e - batch.halo,
                     pattern_indices=pids,
                     rep_index=pids[0],
+                    lane=ln,
+                    gid=self._gid_of_pidset.get(tuple(pids), -1),
                 )
             )
         return BatchMatches(
@@ -228,6 +337,19 @@ class MatchSession:
 
     def group_counts(self, comp: CompactMatches) -> np.ndarray:
         return np.asarray(per_group_counts(self.dev, comp))
+
+    def event_group_counts(self, bm: BatchMatches) -> np.ndarray:
+        """Per-group event counts [G] from decoded events (any engine).
+
+        The bloom engine's count path for the psum workload (BASELINE
+        config 5): exact verified events counted host-side. On
+        multi-process meshes each host counts its local events; reduce
+        with ``parallel.mesh.allreduce_host_counts``."""
+        g = np.zeros(self.table.num_groups, np.int64)
+        for ev in bm.events:
+            if ev.gid >= 0:
+                g[ev.gid] += 1
+        return g
 
     # ----------------------------------------------------------- high level
 

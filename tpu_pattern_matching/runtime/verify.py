@@ -78,13 +78,17 @@ class Verifier:
         if self.fold_case:
             window = _fold_case(window)
         if self._oracle is not None:
+            # uint8 windows take the fast byte path; wider symbols
+            # (ushort alphabet) must stay ndarrays — bytes() would split
+            # each 2-byte symbol into two byte symbols and match nothing
+            payload = (
+                bytes(window) if window.dtype == np.uint8 else window
+            )
             self._oracle.reset()
-            off, pid, total = self._oracle.match(bytes(window))
+            off, pid, total = self._oracle.match(payload)
             if total > len(off):  # enormous window: re-run with room
                 self._oracle.reset()
-                off, pid, total = self._oracle.match(
-                    bytes(window), cap=int(total)
-                )
+                off, pid, total = self._oracle.match(payload, cap=int(total))
             return list(zip(off.tolist(), pid.tolist()))
         events, _ = self._py.match(window.tolist())
         return events

@@ -30,6 +30,7 @@ from __future__ import annotations
 import dataclasses
 import io
 import os
+import re
 from typing import BinaryIO
 
 import numpy as np
@@ -87,6 +88,8 @@ class HostBatch:
 
 
 class DataBuffer:
+    dtype = np.uint8  # symbol width (UshortBuffer overrides)
+
     def __init__(self, max_chunks: int, chunk_len: int, halo: int):
         if halo < 0 or chunk_len <= 0 or max_chunks <= 0:
             raise ValueError("bad buffer geometry")
@@ -97,7 +100,7 @@ class DataBuffer:
 
     def _alloc(self) -> None:
         C, B, H = self.max_chunks, self.chunk_len, self.halo
-        self.data = np.zeros((C, H + B), np.uint8)
+        self.data = np.zeros((C, H + B), self.dtype)
         self.start_t = np.full(C, H, np.int32)
         self.end_t = np.full(C, H, np.int32)
         self.file_ids = np.full(C, -1, np.int32)
@@ -310,3 +313,105 @@ class DataBuffer:
             chunks=self.chunks,
             halo=self.halo,
         )
+
+
+# ------------------------------------------------------- ushort (AC_ushorts)
+
+_DIGITS = re.compile(rb"\d+")
+
+
+def parse_token_stream(
+    raw: bytes, rem: bytes, final: bool, clamp: int
+) -> tuple[np.ndarray, bytes]:
+    """Incrementally parse comma/semicolon/whitespace-separated ints.
+
+    The streaming form of the reference's per-line strtok parse
+    (AC_ushorts/databuf.c:154-190): a trailing digit run may be a partial
+    number cut by the read boundary, so it is held back in ``rem`` until
+    the next read (or emitted when ``final``). Values clamp to
+    ``clamp`` (the reference indexes its table out of bounds for
+    >= alphabet values — UB we don't reproduce).
+    """
+    buf = rem + raw
+    if not final:
+        k = len(buf)
+        while k and 48 <= buf[k - 1] <= 57:
+            k -= 1
+        buf, rem = buf[:k], buf[k:]
+    else:
+        rem = b""
+    if not buf:
+        return np.zeros(0, np.uint16), rem
+    vals = np.asarray(
+        [int(m) for m in _DIGITS.findall(buf)], np.int64
+    )
+    return np.minimum(vals & 0xFFFF, clamp).astype(np.uint16), rem
+
+
+class UshortBuffer(DataBuffer):
+    """uint16 metadata-token lanes — the AC_ushorts databuf role.
+
+    Same HostBatch contract as DataBuffer, but symbols are packet-metadata
+    tokens (payload lengths etc.) parsed incrementally from text flow
+    files; ``add_stream`` keeps per-stream parse state (partial trailing
+    number, surplus tokens) on the StreamState so large corpora stream in
+    rounds instead of one slurp, and follow mode works on growing
+    files/FIFOs (the reference's ushort driver has neither,
+    AC_ushorts/ocl_aho_grep.c).
+    """
+
+    dtype = np.uint16
+    clamp = 2047  # ALPHABET_USHORT - 1 (iacsmx.h:43)
+
+    def _push_tokens(self, toks: np.ndarray, stream: StreamState) -> None:
+        H = self.halo
+        i = self.chunks
+        hist = stream.tail[-H:] if H else np.zeros(0, np.uint16)
+        hl = len(hist)
+        if hl:
+            self.data[i, H - hl : H] = hist
+        n = len(toks)
+        self.data[i, H : H + n] = toks
+        self.start_t[i] = H - hl
+        self.end_t[i] = H + n
+        self.file_ids[i] = stream.file_id
+        self.base_off[i] = stream.offset
+        self.chunks += 1
+        self.bytes += 2 * n
+        stream.offset += n
+        if H:
+            stream.tail = np.concatenate([hist, toks])[-H:]
+
+    def add_stream(self, fobj: BinaryIO, stream: StreamState) -> tuple[int, int]:
+        """Text-to-token ingest. Returns (code, raw_text_bytes_read)."""
+        if not isinstance(stream.tail, np.ndarray):  # first visit: token mode
+            stream.tail = np.zeros(0, np.uint16)
+            stream.pending = np.zeros(0, np.uint16)
+            stream.text_rem = b""
+        B = self.chunk_len
+        rd = 0
+        while self.chunks < self.max_chunks:
+            quiescent = False
+            while len(stream.pending) < B and not quiescent:
+                raw = fobj.read(max(4096, B * 8))
+                rd += len(raw)
+                toks, stream.text_rem = parse_token_stream(
+                    raw, stream.text_rem, final=(raw == b""),
+                    clamp=self.clamp,
+                )
+                if len(toks):
+                    stream.pending = np.concatenate([stream.pending, toks])
+                quiescent = raw == b""
+            if len(stream.pending) == 0:
+                break
+            take = stream.pending[:B]
+            stream.pending = stream.pending[B:]
+            self._push_tokens(take, stream)
+            if quiescent and len(stream.pending) == 0:
+                break
+        code = (
+            -1
+            if self.chunks >= self.max_chunks
+            else (self.max_chunks - self.chunks)
+        )
+        return code, rd

@@ -127,7 +127,9 @@ class Feeder:
         text_mode: bool = False,
         follow: bool = False,
         queue_depth: int = 4,
+        buffer_factory=DataBuffer,
     ):
+        self.buffer_factory = buffer_factory
         self.filenames = filenames
         self.n_workers = max(1, min(n_workers, len(filenames) or 1))
         self.max_chunks = max_chunks
@@ -142,7 +144,7 @@ class Feeder:
     # ------------------------------------------------------------- workers
 
     def _worker(self, wid: int) -> None:
-        buf = DataBuffer(self.max_chunks, self.chunk_len, self.halo)
+        buf = self.buffer_factory(self.max_chunks, self.chunk_len, self.halo)
         streams: dict[int, StreamState] = {}
         handles: dict[int, object] = {}
         pend_bytes = 0

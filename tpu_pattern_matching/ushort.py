@@ -10,6 +10,13 @@ The same generic DFA builder and scan engine are reused with
 ``alphabet_size=2048`` (AC_ushorts/iacsmx.h:43) and uint16 lanes; values >=
 alphabet are clamped to ``alphabet-1`` (the reference indexes its table out
 of bounds for such values — UB we do not reproduce).
+
+The grep driver streams: flow text parses incrementally into uint16 token
+lanes (``runtime.buffers.UshortBuffer``) fed through the threaded feeder in
+rounds — the reference's ushort driver loops databuf rounds the same way
+(AC_ushorts/databuf.c:154-190 + its ocl_aho_grep loop) — and ``-F`` follow
+mode works on growing flow files/FIFOs (an extension: the reference's
+ushort driver predates follow mode).
 """
 
 from __future__ import annotations
@@ -23,11 +30,11 @@ from tpu_pattern_matching.core.dfa import (
     AhoCorasick,
     DfaTable,
 )
-from tpu_pattern_matching.core.patterns import load_signature_file, parse_flow_line
-from tpu_pattern_matching.ops.compact import compact_matches
-from tpu_pattern_matching.ops.match_xla import scan_batch
-from tpu_pattern_matching.ops.table import DeviceTable
+from tpu_pattern_matching.core.patterns import load_signature_file
+from tpu_pattern_matching.runtime.buffers import UshortBuffer
+from tpu_pattern_matching.runtime.feeder import Feeder
 from tpu_pattern_matching.runtime.files import expand_paths
+from tpu_pattern_matching.runtime.session import MatchSession
 from tpu_pattern_matching.runtime.stats import RunStats
 from tpu_pattern_matching.utils.common import cdiv, now_us
 
@@ -51,6 +58,8 @@ def lanes_from_sequences(
     """Tile per-flow token sequences into uint16 lanes with prefix halos.
 
     Returns (data [C, halo+B] uint16, start_t, end_t, file_ids, base_off).
+    One-shot batch assembly for library/test use; the grep driver streams
+    through UshortBuffer instead.
     """
     B, H = chunk_len, halo
     C = sum(max(1, cdiv(len(s), B)) for _, s in seqs)
@@ -81,108 +90,98 @@ def lanes_from_sequences(
 def run_ushort_grep(args) -> int:
     """Drive the metadata-sequence grep (the AC_ushorts ocl_aho_grep path).
 
-    ``--engine auto/bloom`` probes the alphabet-2048 bloom filter and
-    verifies candidates with the symbol-width-generic native walker;
-    ``--engine dense/esc16`` walks the DFA on device (exact counts there)."""
+    Streaming rounds: flow files feed through UshortBuffer lanes via the
+    threaded feeder (batched rounds, follow mode supported), scanned by a
+    MatchSession on the chosen engine — ``bloom`` probes the alphabet-2048
+    filter and verifies candidates with the symbol-width-generic native
+    walker; ``dense``/``esc16`` walk the DFA on device (exact there)."""
     engine = getattr(args, "engine", "auto")
-    use_bloom = engine in ("auto", "bloom")
+    if engine == "auto":
+        from tpu_pattern_matching.engine import on_tpu
+
+        engine = "bloom" if on_tpu() else "dense"
     table = compile_signatures(args.pat_path, max_tokens=16)
-    groups = table.groups_as_lists()
-    dev = None if use_bloom else DeviceTable.put(
-        table, esc16=engine == "esc16"
-    )
 
     filenames = expand_paths(args.data_path)
     if not filenames:
         print("ERROR: Could not open input file(s) for reading.", file=sys.stderr)
         return 2
 
+    B = max(16, args.chunk_size // 2)  # tokens per lane
+    sess = MatchSession(
+        table,
+        max_chunks=args.global_ws,
+        chunk_len=B,
+        max_results=args.max_results,
+        sort=getattr(args, "sort", False),
+        engine=engine,
+    )
+    feeder = Feeder(
+        filenames,
+        n_workers=args.thread_no,
+        max_chunks=sess.max_chunks,
+        chunk_len=B,
+        halo=sess.halo,
+        follow=getattr(args, "follow", False),
+        buffer_factory=UshortBuffer,
+    )
+
     stats = RunStats(
         files=len(filenames),
         automaton_states=table.num_states,
         automaton_bytes=table.nbytes,
     )
-    rd_bytes = 0  # raw text bytes (the reference tracks both, SURVEY 2.2)
+    rd_bytes = 0  # raw text bytes vs converted ushort bytes (SURVEY 2.2:
+    # the reference ushort driver tracks both, AC_ushorts/ocl_aho_grep.c:79-81)
     start = now_us()
 
-    from tpu_pattern_matching.utils.common import pad_halo
-
-    B = max(16, args.chunk_size // 2)  # tokens per lane
-    halo = pad_halo(table.max_pat_len - 1, B)
-    seqs = []
-    for fid, fname in enumerate(filenames):
-        with open(fname, "r", errors="replace") as f:
-            txt = f.read()
-        rd_bytes += len(txt)
-        vals = parse_flow_line(txt)
-        vals = np.asarray(
-            [min(v, ALPHABET_USHORT - 1) for v in vals], np.uint16
+    def consume(item, comp):
+        nonlocal rd_bytes
+        bm = sess.decode(item.batch, comp)
+        stats.rounds += 1
+        rd_bytes += item.bytes
+        stats.bytes += item.batch.payload_bytes * 2  # uint16 tokens
+        stats.matches_total += bm.total
+        stats.matches_reported += sum(
+            len(e.pattern_indices) for e in bm.events
         )
-        seqs.append((fid, vals))
-        stats.bytes += 2 * len(vals)
-
-    data, start_t, end_t, file_ids, base_off = lanes_from_sequences(seqs, B, halo)
-    stats.rounds = 1
-    events = []  # (lane, end_row_abs_off, pattern_indices)
-    if use_bloom:
-        from tpu_pattern_matching.ops.bloom import (
-            BloomFilterTable,
-            unpack_hit_rows,
-        )
-        from tpu_pattern_matching.runtime.verify import Verifier
-
-        bft = BloomFilterTable.from_table(table)
-        hits = bft.put().hits(data, np.stack([start_t, end_t]))
-        total = int(np.asarray(hits.meta)[0])
-        if total:
-            rows, lanes_ = unpack_hit_rows(
-                np.asarray(hits.bits), bft.cfg.stride
+        if bm.overflowed:
+            print(
+                f"WARNING: result slots overflowed: "
+                f"{bm.total - bm.reported} match(es) not reported this "
+                f"round (raise -R)",
+                file=sys.stderr,
             )
-        else:
-            rows = lanes_ = np.zeros(0, np.int64)
-        verifier = Verifier(
-            [p.symbols for p in table.patterns],
-            alphabet_size=table.alphabet_size,
-            q=bft.cfg.q,
-            max_pat_len=table.max_pat_len,
-            dense_table=table,
-        )
-        grouped: dict[tuple[int, int], set[int]] = {}
-        for ln, e, pid in verifier.verify_batch(
-            data, lanes_, rows, halo, start_t, end_t
-        ):
-            grouped.setdefault((ln, e), set()).add(pid)
-        for (ln, e), pids in sorted(grouped.items()):
-            off = int(base_off[ln]) + e - halo
-            events.append((ln, off, sorted(pids)))
-        stats.matches_total = len(events)
-        stats.matches_reported = len(events)
-    else:
-        res = scan_batch(
-            dev, data, start_t, end_t, halo=halo,
-            max_results=args.max_results,
-        )
-        comp = compact_matches(dev, res)
-        meta = np.asarray(comp.meta)
-        stats.matches_total = int(meta[0])
-        reported = int(meta[1])
-        stats.matches_reported = reported
-        if reported:
-            lane, pos, _state, gid, _rep = np.asarray(comp.packed)
-            for k in range(reported):
-                ln = int(lane[k])
-                off = int(base_off[ln]) + int(pos[k])
-                events.append((ln, off, groups[int(gid[k])]))
-    if args.verbose:
-        for ln, off, pids in events:
-            fname = filenames[int(file_ids[ln])]
-            for pidx in pids:
-                pat = table.patterns[pidx]
-                print(
-                    f"Pattern {pat.iid} ('{pat.label}') found in file "
-                    f"'{fname}' at sequence offset {off - pat.n + 1} "
-                    f"[end: {off}]"
-                )
+        if args.verbose:
+            for ev in bm.events:
+                fname = filenames[ev.file_id]
+                for pidx in ev.pattern_indices:
+                    pat = table.patterns[pidx]
+                    off = ev.end_offset
+                    print(
+                        f"Pattern {pat.iid} ('{pat.label}') found in file "
+                        f"'{fname}' at sequence offset {off - pat.n + 1} "
+                        f"[end: {off}]"
+                    )
+
+    import signal
+    from collections import deque
+
+    # SIGINT: drain and flush, as the byte-mode CLI does
+    # (ocl_aho_grep.c:25-31, 61-65)
+    try:
+        signal.signal(signal.SIGINT, lambda *_: feeder.stop())
+    except ValueError:  # not the main thread (library embedding)
+        pass
+
+    feeder.start()
+    pending: deque = deque()
+    for item in feeder:
+        pending.append((item, sess.scan(item.batch)))
+        if len(pending) >= 2:
+            consume(*pending.popleft())
+    while pending:
+        consume(*pending.popleft())
     stats.wall_us = now_us() - start
     print(stats.render())
     if getattr(args, "json_stats", False):

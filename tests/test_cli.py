@@ -169,7 +169,7 @@ def test_categorical_pattern_ids(capsys, tmp_path):
 def test_engine_flag_all_engines_agree(capsys, corpus_dir):
     tmp, pat, data, patterns, corpus = corpus_dir
     outs = {}
-    for engine in ("bloom", "dense", "esc16"):
+    for engine in ("bloom", "dense"):
         rc, out = run_cli(
             capsys,
             ["-f", data, "-p", pat, "-B", "64", "-G", "16", "-t", "-v",
@@ -179,7 +179,7 @@ def test_engine_flag_all_engines_agree(capsys, corpus_dir):
         outs[engine] = sorted(
             l for l in out.splitlines() if l.startswith("Pattern")
         )
-    assert outs["bloom"] == outs["dense"] == outs["esc16"]
+    assert outs["bloom"] == outs["dense"]
     assert len(outs["bloom"]) > 0
 
 

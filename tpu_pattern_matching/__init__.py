@@ -8,7 +8,7 @@ Aho-Corasick grep in gvasilious/gpu_pattern_matching (see SURVEY.md):
                  formats), CPU oracles (Python + C++) for conformance.
 - ``ops``      — device scan engines: the Pallas q-gram bloom filter (the
                  TPU hot path; candidates verified exactly on the host) and
-                 the pure-XLA ``lax.scan`` DFA walk (+ esc16 variant); match
+                 the pure-XLA ``lax.scan`` DFA walk; match
                  compaction (cumsum + scatter), sorting (``jax.lax.sort``).
 - ``runtime``  — streaming buffer manager (fixed-shape chunk batches with
                  prefix halos), threaded file feeder with double buffering,

@@ -85,12 +85,11 @@ def build_argparser() -> argparse.ArgumentParser:
     )
     ap.add_argument(
         "--engine",
-        choices=("auto", "bloom", "dense", "esc16"),
+        choices=("auto", "bloom", "dense"),
         default="auto",
         help="scan engine: auto (default; bloom for byte patterns), bloom "
         "(Pallas q-gram filter + exact host verify — the TPU hot path), "
-        "dense (XLA signed-table DFA walk), esc16 (dense + escape-encoded "
-        "int16 fast path)",
+        "dense (XLA signed-table DFA walk, exact on device)",
     )
     ap.add_argument("--save-dfa", dest="save_dfa")
     ap.add_argument("--load-dfa", dest="load_dfa")

@@ -4,7 +4,6 @@ Central place where the framework picks its hot path per platform:
 
 - ``bloom``  — Pallas q-gram bloom filter + exact verify (TPU; fastest)
 - ``dense``  — XLA signed-table DFA walk (exact on device; any platform)
-- ``esc16``  — dense + escape-encoded int16 fast path (opt-in)
 
 ``best_scan_total_fn`` is the benchmark/bake-off hook: it returns a jittable
 ``f(data, start_t, end_t) -> int32 scalar`` whose value depends on every
@@ -50,7 +49,7 @@ def best_scan_total_fn(
 
         return scan_total, halo
 
-    dev = DeviceTable.put(table, esc16=engine == "esc16")
+    dev = DeviceTable.put(table)
     from tpu_pattern_matching.ops.match_xla import _scan_kernel
 
     def scan_total(data, start_t, end_t):
@@ -63,7 +62,6 @@ def best_scan_total_fn(
             alphabet_size=dev.alphabet_size,
             halo=halo,
             max_results=16,
-            table_esc16=dev.table_esc16,
         )
         return res.total + res.slot_pos[0, 0] * 0
 

@@ -162,7 +162,6 @@ def _scan_compact_jit(
     group_rep,
     data,
     bounds,  # [2, C] int32: start_t, end_t (packed: one H2D transfer)
-    table_esc16,
     *,
     alphabet_size,
     halo,
@@ -182,7 +181,6 @@ def _scan_compact_jit(
         alphabet_size=alphabet_size,
         halo=halo,
         max_results=max_results,
-        table_esc16=table_esc16,
     )
     meta, packed = _compact_jit(
         res.counts,
@@ -224,7 +222,6 @@ def scan_and_compact(
         table.group_rep,
         data,
         bounds,
-        table.table_esc16,
         alphabet_size=table.alphabet_size,
         halo=halo,
         max_results=max_results,

@@ -70,7 +70,6 @@ def _scan_kernel(
     alphabet_size: int,
     halo: int,
     max_results: int,
-    table_esc16: jax.Array | None = None,
 ) -> ScanResult:
     T, C = data_tm.shape
     R = max_results
@@ -126,35 +125,6 @@ def _scan_kernel(
         blk, t0 = xs
         return walk_block(carry, blk, t0), None
 
-    def body_esc(carry, xs):
-        # Escape fast path: one int16 gather per symbol, NO match
-        # bookkeeping at all. Escape cells (-1) mark transitions to final
-        # or deep (id >= 2**15) states, so a block with no escape in any
-        # lane provably has no matches and int16-exact states; any escape
-        # re-runs the whole block through the signed walk above (the
-        # block-start carry is untouched until the branch resolves).
-        blk, t0 = xs
-        st = carry[0]
-        esc = None
-        for k in range(block):
-            t = t0 + k
-            idx = st * alphabet_size + blk[k].astype(jnp.int32)
-            # after an escape st is garbage (possibly negative) — clip
-            # keeps the gather in-bounds; the result is discarded anyway
-            raw = jnp.take(table_esc16, idx, mode="clip").astype(jnp.int32)
-            valid = (t >= start_t) & (t < end_t)
-            esc_k = (raw < 0) & valid
-            esc = esc_k if esc is None else (esc | esc_k)
-            st = jnp.where(valid, raw, st)
-
-        def slow(args):
-            return walk_block(args, blk, t0)
-
-        def fast(args):
-            return (st,) + args[1:]
-
-        return jax.lax.cond(jnp.any(esc), slow, fast, carry), None
-
     init = (
         jnp.zeros((C,), jnp.int32),
         jnp.zeros((C,), jnp.int32),
@@ -167,7 +137,7 @@ def _scan_kernel(
         * block
     )
     (state, count, sl_state, sl_pos), _ = jax.lax.scan(
-        body if table_esc16 is None else body_esc, init, (xs_blocks, ts0)
+        body, init, (xs_blocks, ts0)
     )
     return ScanResult(
         counts=count,
@@ -184,7 +154,6 @@ def _scan_batch_jit(
     data,
     start_t,
     end_t,
-    table_esc16,
     *,
     alphabet_size,
     halo,
@@ -202,7 +171,6 @@ def _scan_batch_jit(
         alphabet_size=alphabet_size,
         halo=halo,
         max_results=max_results,
-        table_esc16=table_esc16,
     )
 
 
@@ -226,7 +194,6 @@ def scan_batch(
         data,
         start_t,
         end_t,
-        table.table_esc16,
         alphabet_size=table.alphabet_size,
         halo=halo,
         max_results=max_results,

@@ -11,7 +11,6 @@ from __future__ import annotations
 import dataclasses
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from tpu_pattern_matching.core.dfa import DfaTable
@@ -26,15 +25,6 @@ class DeviceTable:
     representative pattern indices after compaction (two tiny gathers over
     sparse results instead of the reference's full-width second table row,
     acsmx.c:648-651).
-
-    ``table_esc16`` is the escape-encoded int16 companion table driving the
-    scan engine's fast path: cell = next state when the transition target is
-    non-final AND its id fits 15 bits, else -1 ("escape"). BFS state ids are
-    depth-ordered, so the first 2**15 states are the shallowest — escapes
-    fire only on matches and on deep excursions (>= ~4-5 pattern-prefix
-    bytes), both rare in scan traffic. A block with no escape in any lane
-    provably has no matches and int16-exact states, so the fast path is a
-    pure one-gather-per-symbol walk (see ops/match_xla.py).
     """
 
     table_flat: jax.Array  # [S * A] int16 or int32
@@ -45,38 +35,21 @@ class DeviceTable:
     num_states: int
     num_groups: int
     num_patterns: int
-    table_esc16: jax.Array | None = None  # [S * A] int16 escape encoding
 
     @staticmethod
     def put(
         table: DfaTable,
         sharding: jax.sharding.Sharding | None = None,
-        esc16: bool = False,
     ) -> "DeviceTable":
-        """Upload a compiled table (replicated when ``sharding`` given).
-
-        ``esc16=True`` adds the escape-encoded companion table so the scan
-        engine skips per-block match bookkeeping until a lane escapes.
-        Honest device timing showed XLA serializes both walks per element,
-        so the narrower gathers do not pay for the extra table on real
-        TPUs — opt-in (see BENCH_NOTES.md "measurement artifact").
-        """
+        """Upload a compiled table (replicated when ``sharding`` given)."""
         flat = np.ascontiguousarray(table.goto_signed).reshape(-1)
         put = (
             (lambda x: jax.device_put(x, sharding))
             if sharding is not None
             else jax.device_put
         )
-        esc = None
-        if esc16:
-            esc = put(
-                np.where(
-                    (flat >= 0) & (flat < 2**15), flat, -1
-                ).astype(np.int16)
-            )
         return DeviceTable(
             table_flat=put(flat),
-            table_esc16=esc,
             state_gid=put(table.state_gid.astype(np.int32)),
             group_rep=put(table.group_rep.astype(np.int32)),
             alphabet_size=table.alphabet_size,

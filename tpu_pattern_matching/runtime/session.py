@@ -74,9 +74,6 @@ class MatchSession:
           walk at the official 10k-signature point, more on smaller sets
           (BENCH_NOTES.md). Byte alphabet only.
         - "dense" — XLA signed-table DFA walk, exact on device.
-        - "esc16" — dense + escape-encoded int16 fast path (opt-in; the
-          narrower gathers don't pay on real TPUs, where XLA serializes
-          both walks per element).
         - "auto" (default) — bloom for byte-alphabet tables on TPU
           platforms; dense otherwise (on CPU the Pallas probe would run in
           interpret mode — correct but orders of magnitude slower; pass
@@ -101,7 +98,7 @@ class MatchSession:
                 if table.alphabet_size == 256 and on_tpu()
                 else "dense"
             )
-        if engine not in ("esc16", "dense", "bloom"):
+        if engine not in ("dense", "bloom"):
             raise ValueError(f"unknown engine {engine!r}")
         self.engine = engine
         self.table = table
@@ -167,9 +164,7 @@ class MatchSession:
                     self._mesh_ctx, self._bloom
                 )
         else:
-            self.dev = DeviceTable.put(
-                table, sharding, esc16=engine == "esc16"
-            )
+            self.dev = DeviceTable.put(table, sharding)
         base_halo = (table.max_pat_len - 1) if halo is None else halo
         # pad so the scan engine's 8-wide unroll divides the tile length
         self.halo = pad_halo(base_halo, chunk_len)
@@ -190,7 +185,7 @@ class MatchSession:
     def scan(self, batch: HostBatch):
         """Device scan + compaction (+ sort) of one batch — ONE dispatch.
 
-        Returns CompactMatches (dense/esc16) or BloomHits (bloom). With a
+        Returns CompactMatches (dense) or BloomHits (bloom). With a
         ``mesh``, lanes are sharded across it before dispatch and the bloom
         probe runs under shard_map with a psum-reduced survivor total."""
         import numpy as _np

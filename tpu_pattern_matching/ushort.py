@@ -94,7 +94,7 @@ def run_ushort_grep(args) -> int:
     threaded feeder (batched rounds, follow mode supported), scanned by a
     MatchSession on the chosen engine — ``bloom`` probes the alphabet-2048
     filter and verifies candidates with the symbol-width-generic native
-    walker; ``dense``/``esc16`` walk the DFA on device (exact there)."""
+    walker; ``dense`` walks the DFA on device (exact there)."""
     engine = getattr(args, "engine", "auto")
     if engine == "auto":
         from tpu_pattern_matching.engine import on_tpu

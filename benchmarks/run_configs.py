@@ -33,6 +33,23 @@ def _hex_sigs(n: int, seed: int, length: int) -> list[bytes]:
     return [bytes(rng.randint(0, 256, size=length).astype(np.uint8)) for _ in range(n)]
 
 
+CLAMAV_DIR = "/root/reference/clamav_sample_sigs"
+
+
+def _sig_set(n: int, seed: int, length: int, limit: int = -1):
+    """The reference's REAL ClamAV signature sets when its checkout is
+    present (heavy shared prefixes shift the bloom chooser's true-gram hit
+    rate — VERDICT round-1 item 7), else synthetic hex of the same scale.
+    Returns (sigs, source_tag)."""
+    path = os.path.join(CLAMAV_DIR, f"{n}.txt")
+    if os.path.exists(path):
+        from tpu_pattern_matching.core.patterns import load_pattern_file
+
+        parsed = load_pattern_file(path, hex_pat=True, pat_size_limit=limit)
+        return [p.data for p in parsed], "clamav"
+    return _hex_sigs(n, seed, length if limit < 0 else limit), "synthetic"
+
+
 def _random_file(path: str, mib: int, seed: int) -> str:
     if not os.path.exists(path) or os.path.getsize(path) != mib << 20:
         rng = np.random.RandomState(seed)
@@ -125,17 +142,17 @@ def _plant(path: str, sigs: list[bytes], n: int, chunk: int = 4096) -> None:
 
 
 def config2(data_dir: str) -> None:
-    sigs = _hex_sigs(2000, seed=2, length=16)
+    sigs, src = _sig_set(2000, seed=2, length=16)
     path = _random_file(os.path.join(data_dir, "32MB.7p.bin"), 32, seed=7)
     _plant(path, sigs, 400)
     out = _scan_file_throughput(sigs, path, sort=False, check_oracle=True)
-    emit("2_clamav2000_32MB", **out)
+    emit("2_clamav2000_32MB", sigs=src, **out)
     assert out["parity"] is True
     assert out["events"] > 300  # plants found (a few may overwrite others)
 
 
 def config3(data_dir: str) -> None:
-    sigs = _hex_sigs(10_000, seed=3, length=16)
+    sigs, src = _sig_set(10_000, seed=3, length=16)
     p7 = _random_file(os.path.join(data_dir, "32MB.7q.bin"), 32, seed=7)
     p8 = _random_file(os.path.join(data_dir, "32MB.8.bin"), 32, seed=8)
     _plant(p7, sigs, 500)  # exact-parity evidence at the 10k scale point
@@ -151,6 +168,7 @@ def config3(data_dir: str) -> None:
         events=out7["events"] + out8["events"],
         states=out7["states"],
         parity=out7["parity"],
+        sigs=src,
     )
     assert out7["parity"] is True
 
@@ -161,7 +179,7 @@ def config4(data_dir: str) -> None:
     from tpu_pattern_matching.runtime.feeder import Feeder
     from tpu_pattern_matching.runtime.session import MatchSession
 
-    sigs = _hex_sigs(15_000, seed=4, length=12)
+    sigs, src = _sig_set(15_000, seed=4, length=12, limit=12)  # -m 12
     files = [
         _random_file(os.path.join(data_dir, f"32MB.{i}.bin"), 32, seed=i)
         for i in (1, 2, 3, 4)
@@ -194,6 +212,7 @@ def config4(data_dir: str) -> None:
         matches=total_matches,
         rounds=rounds,
         states=table.num_states,
+        sigs=src,
     )
 
 

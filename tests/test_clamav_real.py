@@ -1,0 +1,75 @@
+"""Real ClamAV signature distribution (reference clamav_sample_sigs/).
+
+The reference ships its benchmark signature sets as printable hex with
+heavy shared prefixes (README:71-83); prefix sharing collapses the
+distinct-gram count far below stride*n and shifts the bloom chooser's
+(q, stride/w, k, v) choice — synthetic random sigs never exercise that
+(VERDICT round-1 item 7). Skipped when the reference checkout is absent.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+CLAMAV = "/root/reference/clamav_sample_sigs"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(CLAMAV), reason="reference clamav sigs not present"
+)
+
+
+def _load(n, limit=-1):
+    from tpu_pattern_matching.core.patterns import load_pattern_file
+
+    parsed = load_pattern_file(
+        os.path.join(CLAMAV, f"{n}.txt"), hex_pat=True, pat_size_limit=limit
+    )
+    return [p.data for p in parsed]
+
+
+def test_chooser_on_real_2000_and_planted_parity():
+    from tpu_pattern_matching.core.dfa import compile_patterns
+    from tpu_pattern_matching.core.oracle_native import NativeOracle
+    from tpu_pattern_matching.ops.bloom import BloomFilterTable
+    from tpu_pattern_matching.runtime.session import MatchSession
+
+    sigs = _load(2000)
+    bft = BloomFilterTable.build(sigs)
+    # shared prefixes: distinct grams well below the no-sharing count
+    no_sharing = sum(
+        min(max(bft.cfg.stride, 1), len(p) - bft.cfg.q + 1) for p in sigs
+    ) if not bft.cfg.sampled else len(sigs)
+    assert bft.n_grams <= no_sharing
+    assert bft.fp_est < 1e-2
+
+    rng = np.random.RandomState(9)
+    data = bytearray(rng.randint(0, 256, size=1 << 15).astype(np.uint8))
+    planted = 0
+    for k in range(12):
+        sig = sigs[rng.randint(len(sigs))]
+        pos = rng.randint(0, len(data) - len(sig))
+        data[pos : pos + len(sig)] = sig
+        planted += 1
+    data = bytes(data)
+    sess = MatchSession(
+        compile_patterns(sigs), max_chunks=8, chunk_len=4096, engine="bloom"
+    )
+    got = sess.find(data)
+    want = NativeOracle(sigs).match_events(data)
+    assert got == want
+    assert len(got) >= planted // 2  # plants may overwrite each other
+
+
+def test_real_15000_m12_truncation_builds():
+    # the 15k set at -m 12 (the reference's README recipe): truncation
+    # creates duplicate patterns; build + chooser must handle them
+    from tpu_pattern_matching.ops.bloom import BloomFilterTable
+
+    sigs = _load(15000, limit=12)
+    assert all(len(s) <= 12 for s in sigs)
+    bft = BloomFilterTable.build(sigs)
+    assert bft.n_grams > 0
+    # record-keeping: the chosen config is printed so bench logs capture it
+    print("15k -m12 config:", bft.cfg, "grams:", bft.n_grams,
+          "fp:", bft.fp_est)

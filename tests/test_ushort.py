@@ -264,12 +264,12 @@ def test_ushort_follow_mode(tmp_path):
         stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, cwd=repo,
         env={**os.environ, "JAX_PLATFORMS": "cpu"},
     )
-    time.sleep(15)  # let it start following
+    time.sleep(25)  # let it start following (jax import under suite load)
     with open(flow, "a") as fh:
         fh.write("500,501,502,")
-    time.sleep(10)
+    time.sleep(15)
     proc.send_signal(signal.SIGINT)
-    out, _ = proc.communicate(timeout=120)
+    out, _ = proc.communicate(timeout=300)
     assert proc.returncode == 0
     assert b"STATS" in out
     assert b"Pattern 0 ('grow')" in out  # appended occurrence was found

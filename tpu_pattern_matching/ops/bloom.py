@@ -64,20 +64,36 @@ MAX_LANE_TILE = 1024  # lane-block width per kernel tile
 
 @dataclasses.dataclass(frozen=True)
 class BloomConfig:
-    """Static shape/hash parameters (hashable: used as a jit static arg)."""
+    """Static shape/hash parameters (hashable: used as a jit static arg).
+
+    Two sampling modes select which gram positions are tested:
+
+    - **strided** (``sampled=False``): positions at multiples of ``stride``;
+      grams inserted at pattern offsets 0..stride-1 (bloom load =
+      stride x patterns).
+    - **sampled/winnowing** (``sampled=True``): every position is hashed;
+      a position is tested iff it is the rightmost-argmin of some
+      ``w``-window of the selection hash (Schleimer et al. winnowing).
+      The builder inserts only each pattern's per-window rightargmin grams
+      (~1 gram/pattern when pattern length ~= lmin), cutting bloom load
+      ~stride-fold — the enabler for 100k+ pattern sets, where strided
+      mode's bloom capacity (k*v gather chains) is the wall.
+    """
 
     q: int  # gram length (symbols)
-    stride: int  # tested-position stride; q <= stride
+    stride: int  # tested-position stride; q <= stride (strided mode; 1 when sampled)
     kbanks: int  # independent bloom banks (ALL must hit)
     v: int  # 4096-bit units per bank
     mix1: tuple[int, ...]  # per-symbol odd multipliers, hash 1
     mix2: tuple[int, ...]  # per-symbol odd multipliers, hash 2
     fold_case: bool = False  # ASCII-fold input symbols before hashing
-    gt: int = GT  # stride-groups (tested rows) per tile; multiple of 32
+    gt: int = GT  # tested rows per tile; multiple of 32
     ct: int = MAX_LANE_TILE  # lane-tile width; multiple of 128
     blockwise: bool = False  # probe one 128-lane block at a time (bounded
     # VMEM live set) vs full-width ops (larger vector ops; measured better
     # for the large-k*v configs under interleaved A/B, exp_bloom_ab.py)
+    sampled: bool = False  # winnowing selection instead of strided
+    w: int = 0  # winnowing window (gram positions); w <= lmin - q + 1
 
     @property
     def bits(self) -> int:
@@ -101,6 +117,71 @@ def _hash_fields_np(m1, m2, b, v):
 def _grams_of(symbols: Sequence[int], q: int, offsets) -> list[tuple]:
     s = list(symbols)
     return [tuple(s[o : o + q]) for o in offsets if o + q <= len(s)]
+
+
+def _sel_hash_np(m1: np.ndarray) -> np.ndarray:
+    """Host model of the device selection hash (31-bit, so INT32_MAX can
+    serve as the out-of-bounds sentinel on device)."""
+    h = (m1 ^ (m1 >> np.uint64(13))) & np.uint64(MASK32)
+    return h & np.uint64(0x7FFFFFFF)
+
+
+def _gram_m1(symbols: Sequence[int], q: int, mix1) -> np.ndarray:
+    """m1 hash of every gram of one pattern (uint64 array, 32-bit wrapped)."""
+    s = np.asarray(list(symbols), np.uint64)
+    m = len(s) - q + 1
+    if m <= 0:
+        return np.zeros(0, np.uint64)
+    out = np.zeros(m, np.uint64)
+    for i in range(q):
+        out = (out + s[i : i + m] * np.uint64(mix1[i])) & np.uint64(MASK32)
+    return out
+
+
+def _winnow_offsets(h: np.ndarray, w: int) -> list[int]:
+    """Gram offsets selected by winnowing: the rightmost-argmin of every
+    w-window (Schleimer et al.; rightmost tie rule matches the device's
+    a+b >= w-1 characterization in the sampled kernel)."""
+    m = len(h)
+    sel = set()
+    for u in range(0, m - w + 1):
+        win = h[u : u + w]
+        sel.add(u + (w - 1 - int(np.argmin(win[::-1]))))
+    return sorted(sel)
+
+
+def _winnow_grams(pats: list[list[int]], q: int, w: int, mix1) -> set:
+    """Winnowing fingerprint gram set over a whole pattern list,
+    vectorized per length group (the per-pattern Python loop is minutes at
+    100k patterns; this is milliseconds)."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    by_len: dict[int, list[list[int]]] = {}
+    for p in pats:
+        by_len.setdefault(len(p), []).append(p)
+    mix = np.asarray(mix1[:q], np.uint64)
+    grams: set = set()
+    for L, group in by_len.items():
+        arr = np.asarray(group, np.uint64)  # [N, L]
+        M = L - q + 1
+        if M < w:
+            # coverage needs a full w-window of gram positions inside
+            # every pattern (w <= Lmin - q + 1, enforced by the chooser)
+            raise ValueError(f"pattern length {L} too short for q={q} w={w}")
+        m1 = np.zeros((len(group), M), np.uint64)
+        for i in range(q):
+            m1 = (m1 + arr[:, i : i + M] * mix[i]) & np.uint64(MASK32)
+        h = _sel_hash_np(m1)  # [N, M]
+        win = sliding_window_view(h, w, axis=1)  # [N, M-w+1, w]
+        # rightmost argmin = (w-1) - argmin of the reversed window
+        ridx = (w - 1) - np.argmin(win[:, :, ::-1], axis=2)  # [N, M-w+1]
+        offs = ridx + np.arange(M - w + 1)[None, :]
+        barr = arr.astype(np.uint16)
+        for r in range(len(group)):
+            row = barr[r]
+            for o in set(offs[r].tolist()):
+                grams.add(tuple(int(x) for x in row[o : o + q]))
+    return grams
 
 
 @dataclasses.dataclass
@@ -135,23 +216,37 @@ class BloomFilterTable:
         seed: int = 0x5EED,
         fold_case: bool = False,
         alphabet_size: int = 256,
+        mode: str = "auto",
     ) -> "BloomFilterTable":
-        """Compile the filter, choosing (q, stride, kbanks, v) jointly.
+        """Compile the filter, choosing (mode, q, stride/w, kbanks, v).
 
-        Coverage needs grams at pattern offsets 0..stride-1 for ANY stride
-        <= Lmin-q+1; the kernel's window trick needs q <= stride. So the
-        search space is q in [1, min(6, (Lmin+1)//2)], stride in
-        [q, Lmin-q+1]: larger stride costs fewer probes per byte but loads
-        the bloom with stride grams per pattern (worse fp). kbanks beyond
-        MAX_BANKS_PER_KERNEL split across ANDed kernel invocations, so
-        large pattern sets can buy fp headroom with extra probe passes.
-        Minimize per-byte probe cost subject to predicted CANDIDATE rate
-        (bloom fp + true-gram hits) <= fp_target; if no config meets the
-        target, take the lowest-rate one — correctness never depends on
-        fp, only verify cost does.
+        Two sampling modes compete in the search (``mode="auto"``; force
+        with "strided"/"sampled"):
+
+        **strided** — coverage needs grams at pattern offsets 0..stride-1
+        for ANY stride <= Lmin-q+1; the kernel's window trick needs
+        q <= stride. Larger stride costs fewer probes per byte but loads
+        the bloom with stride grams per pattern (worse fp).
+
+        **sampled (winnowing)** — every position hashes, a position is
+        tested iff it is the rightmost-argmin of some w-window; the bloom
+        holds only each pattern's per-window rightargmin grams (~1 per
+        pattern at L ~= Lmin). ~stride-x more probe work per byte, but
+        bloom load drops ~stride-fold — past ~30k patterns (where strided
+        k*v hits the 128-words-per-gather ceiling) this is the only way to
+        keep the candidate rate down (BENCH_NOTES.md round-1 plan).
+
+        kbanks beyond MAX_BANKS_PER_KERNEL split across ANDed kernel
+        invocations, so large pattern sets can buy fp headroom with extra
+        probe passes. Minimize per-byte probe cost subject to predicted
+        CANDIDATE rate (bloom fp + true-gram hits) <= fp_target; if no
+        config meets the target, take the lowest-rate one — correctness
+        never depends on fp, only verify cost does.
         """
         if fold_case and alphabet_size != 256:
             raise ValueError("fold_case requires the byte alphabet")
+        if mode not in ("auto", "strided", "sampled"):
+            raise ValueError(f"unknown mode {mode!r}")
         pats = [list(p) for p in patterns]
         if not pats:
             raise ValueError("no patterns")
@@ -159,70 +254,123 @@ class BloomFilterTable:
         lmax = max(len(p) for p in pats)
         q_max = max(1, min(6, (lmin + 1) // 2))
 
+        rng = np.random.RandomState(seed)
+        q_top = max(q_max, min(8, lmin))
+        mix1_full = tuple(int(x) | 1 for x in rng.randint(1, 2**31, size=q_top))
+        mix2_full = tuple(int(x) | 1 for x in rng.randint(1, 2**31, size=q_top))
+
         def n_est(q, s):
             return sum(min(s, len(p) - q + 1) for p in pats)
 
-        def candidate_rate(q, s, n, k, v):
+        _fingerprints: dict[tuple[int, int], int] = {}
+
+        def n_sampled(q, w):
+            # exact winnowing fingerprint count (the real insertion set)
+            if (q, w) not in _fingerprints:
+                _fingerprints[(q, w)] = len(
+                    _winnow_grams(pats, q, w, mix1_full)
+                )
+            return _fingerprints[(q, w)]
+
+        def candidate_rate(q, n, k, v, *, s=1, w=0):
             # expected candidates per input byte on uniform data: true gram
             # occurrences (the filter cannot reject a gram that IS in the
-            # set — this is what kills tiny q for large sets) + bloom fp,
-            # amortized over the stride
+            # set — this is what kills tiny q for large sets) + bloom fp.
+            # Strided: amortized over the stride. Sampled: only selected
+            # positions (density ~2/(w+1)) can become candidates.
             universe = float(alphabet_size) ** q
             distinct = universe * -np.expm1(-n / universe)
             true_rate = distinct / universe
             fp = float((1.0 - np.exp(-n / (v * 4096.0))) ** k)
+            if w:
+                return (min(1.0, true_rate) + fp) * 2.0 / (w + 1)
             return (min(1.0, true_rate) + fp) / s
 
-        def probe_cost(q, s, k, v):
+        def probe_cost(q, k, v, *, s=1, w=0):
             # element-ops per input byte: hash (2.5/symbol) + k banks of
-            # (index math + v gathers&selects), amortized over the stride.
-            # Empirical penalties (exp_bloom_ab/tune + bench A/B): non-pow2
-            # strides relayout the window reshape (~1.6x); bank groups past
-            # MAX_BANKS_PER_KERNEL run as extra ANDed kernels (~1.5x each);
-            # past the unroll budget the fori unit loop costs ~1.3x.
-            c = (2.5 * q + k * (4 + 5 * v)) / s
-            if s not in (1, 2, 4, 8, 16):
-                c *= 1.6
+            # (index math + v gathers&selects); strided amortizes over the
+            # stride, sampled pays every position plus ~3 ops per window
+            # step for the winnowing min chains. Empirical penalties
+            # (exp_bloom_ab/tune + bench A/B): non-pow2 strides relayout
+            # the window reshape (~1.6x); bank groups past
+            # MAX_BANKS_PER_KERNEL run as extra ANDed kernels (~1.5x
+            # each); past the unroll budget the fori unit loop costs ~1.3x.
+            if w:
+                c = 2.5 * q + 3.0 * w + k * (4 + 5 * v)
+            else:
+                c = (2.5 * q + k * (4 + 5 * v)) / s
+                if s not in (1, 2, 4, 8, 16):
+                    c *= 1.6
             groups = -(-k // 8)  # MAX_BANKS_PER_KERNEL
             c *= 1 + 0.5 * (groups - 1)
             if min(k, 8) * v * 8 > 1024:
                 c *= 1.3
             return c
 
-        best = None  # (cost, q, s, k, v) meeting fp_target
-        fallback = None  # (rate, cost, q, s, k, v) best-effort
-        for q in range(1, q_max + 1):
-            for s in range(q, min(max_stride, lmin - q + 1) + 1):
-                n = n_est(q, s)
-                for k in range(2, max_k + 1):
-                    v = 1
-                    while v <= max_v:
-                        rate = candidate_rate(q, s, n, k, v)
-                        c = probe_cost(q, s, k, v)
-                        if rate <= fp_target:
-                            if best is None or c < best[0]:
-                                best = (c, q, s, k, v)
-                            break
-                        if fallback is None or rate < fallback[0] or (
-                            rate == fallback[0] and c < fallback[1]
-                        ):
-                            fallback = (rate, c, q, s, k, v)
-                        v *= 2
+        best = None  # (cost, q, s, w, k, v) meeting fp_target
+        fallback = None  # (rate, cost, q, s, w, k, v) best-effort
+
+        def consider(rate, cost, q, s, w, k, v):
+            nonlocal best, fallback
+            if rate <= fp_target:
+                if best is None or cost < best[0]:
+                    best = (cost, q, s, w, k, v)
+                return True
+            if fallback is None or rate < fallback[0] or (
+                rate == fallback[0] and cost < fallback[1]
+            ):
+                fallback = (rate, cost, q, s, w, k, v)
+            return False
+
+        if mode in ("auto", "strided"):
+            for q in range(1, q_max + 1):
+                for s in range(q, min(max_stride, lmin - q + 1) + 1):
+                    n = n_est(q, s)
+                    for k in range(2, max_k + 1):
+                        v = 1
+                        while v <= max_v:
+                            rate = candidate_rate(q, n, k, v, s=s)
+                            c = probe_cost(q, k, v, s=s)
+                            if consider(rate, c, q, s, 0, k, v):
+                                break
+                            v *= 2
+        if mode in ("auto", "sampled"):
+            # sampled mode exists for huge pattern sets, where bloom
+            # capacity is the wall — let its v range stretch further than
+            # the strided default (the unit fori_loop path bounds VMEM)
+            max_v_s = max(max_v, 32)
+            for q in range(1, min(8, lmin) + 1):
+                w_full = lmin - q + 1
+                for w in sorted({min(w_full, x) for x in (4, 8, 16)}):
+                    if w < 1:
+                        continue
+                    n = n_sampled(q, w)
+                    for k in range(2, max_k + 1):
+                        v = 1
+                        while v <= max_v_s:
+                            rate = candidate_rate(q, n, k, v, w=w)
+                            c = probe_cost(q, k, v, w=w)
+                            if consider(rate, c, q, 1, w, k, v):
+                                break
+                            v *= 2
         if best is not None:
-            _, q, s, k, v = best
+            _, q, s, w, k, v = best
         else:
-            _, _, q, s, k, v = fallback
+            _, _, q, s, w, k, v = fallback
         stride = s
-        grams = set()
-        for p in pats:
-            grams.update(_grams_of(p, q, range(stride)))
+        mix1 = mix1_full[:q]
+        mix2 = mix2_full[:q]
+        if w:
+            grams = _winnow_grams(pats, q, w, mix1)
+        else:
+            grams = set()
+            for p in pats:
+                grams.update(_grams_of(p, q, range(stride)))
         n = len(grams)
 
-        rng = np.random.RandomState(seed)
-        mix1 = tuple(int(x) | 1 for x in rng.randint(1, 2**31, size=q))
-        mix2 = tuple(int(x) | 1 for x in rng.randint(1, 2**31, size=q))
         cfg = BloomConfig(q=q, stride=stride, kbanks=k, v=v,
-                          mix1=mix1, mix2=mix2, fold_case=fold_case)
+                          mix1=mix1, mix2=mix2, fold_case=fold_case,
+                          sampled=bool(w), w=w)
 
         words = np.zeros((k, v, 128), np.uint32)
         if grams:
@@ -269,7 +417,8 @@ class BloomFilterTable:
             cfg=np.array(
                 [self.cfg.q, self.cfg.stride, self.cfg.kbanks, self.cfg.v,
                  int(self.cfg.fold_case), self.cfg.gt, self.cfg.ct,
-                 int(self.cfg.blockwise)],
+                 int(self.cfg.blockwise), int(self.cfg.sampled),
+                 self.cfg.w],
                 dtype=np.int64,
             ),
             mix1=np.asarray(self.cfg.mix1, np.int64),
@@ -289,6 +438,8 @@ class BloomFilterTable:
             mix2=tuple(int(x) for x in z["mix2"]),
             fold_case=bool(c[4]), gt=int(c[5]), ct=int(c[6]),
             blockwise=bool(c[7]),
+            sampled=bool(c[8]) if len(c) > 8 else False,
+            w=int(c[9]) if len(c) > 9 else 0,
         )
         return BloomFilterTable(
             words=z["words"],
@@ -415,6 +566,151 @@ def _make_probe_kernel(cfg: BloomConfig, ct: int, bank0: int, nbanks: int):
     return kernel
 
 
+def _make_sampled_kernel(cfg: BloomConfig, ct: int, bank0: int, nbanks: int):
+    """Winnowing-sampled probe kernel (cfg.sampled): every row hashes; a
+    row is tested iff it is the rightmost-argmin of some w-window of the
+    selection hash.
+
+    Device selection rule: position p is selected iff a + b >= w - 1,
+    where a = #consecutive predecessors with h >= h[p] and b =
+    #consecutive successors with h > h[p] — exactly "p is the
+    rightmost-argmin of at least one w-window", matching the builder's
+    per-window fingerprint insertion (_winnow_offsets). Out-of-span
+    positions get h = INT32_MAX (they can only make neighbors MORE
+    selected, never suppress a guaranteed fingerprint — windows fully
+    inside an occurrence are unaffected).
+
+    Cross-tile context (the previous w-1 and next w+q-2 rows) comes from
+    passing the padded data array three times with block indices i, i+1,
+    i+2 — Pallas blocks are non-overlapping per spec, so the overlap is
+    expressed as three aligned views.
+    """
+    q, v, w = cfg.q, cfg.v, cfg.w
+    tt = cfg.gt  # tile rows == tested rows (stride 1)
+    ctx_l = w - 1
+    ctx_r = w + q - 2
+    P = tt + 2 * (w - 1)  # positions needing a selection hash
+    words_per_tile = tt // 32
+    banks = range(bank0, bank0 + nbanks)
+    unroll_units = nbanks * v * (ct // 128) <= 1024
+    assert ctx_l <= tt and ctx_r <= tt, (w, q, tt)
+
+    def kernel(prev_ref, cur_ref, next_ref, bounds_ref, bloom_ref, out_ref):
+        from jax.experimental import pallas as pl
+
+        tile_i = pl.program_id(0)
+
+        def probe_block(sl, width):
+            def load(ref):
+                d = ref[:, sl].astype(jnp.int32)
+                if cfg.fold_case:
+                    d = jnp.where((d >= 65) & (d <= 90), d + 32, d)
+                return d
+
+            cur = load(cur_ref)
+            parts = []
+            if ctx_l:
+                parts.append(load(prev_ref)[tt - ctx_l :])
+            parts.append(cur)
+            if ctx_r:
+                parts.append(load(next_ref)[:ctx_r])
+            ext = parts[0] if len(parts) == 1 else jnp.concatenate(parts, 0)
+            m1 = jnp.zeros((P, width), jnp.int32)
+            m2 = jnp.zeros((P, width), jnp.int32)
+            for qi in range(q):
+                sub = ext[qi : qi + P, :]
+                m1 = m1 + sub * jnp.int32(cfg.mix1[qi])
+                m2 = m2 + sub * jnp.int32(cfg.mix2[qi])
+            # selection hash (31-bit so INT32_MAX is a clean +inf sentinel)
+            hs = (m1 ^ jax.lax.shift_right_logical(m1, 13)) & jnp.int32(
+                0x7FFFFFFF
+            )
+            p_iota = jax.lax.broadcasted_iota(jnp.int32, (P, width), 0)
+            rows_all = tile_i * tt + p_iota - ctx_l
+            start_t = bounds_ref[0, sl][None, :]
+            end_t = bounds_ref[1, sl][None, :]
+            valid_all = (
+                (rows_all >= start_t)
+                & (rows_all + q <= end_t)
+                & (end_t > start_t)
+            )
+            hm = jnp.where(valid_all, hs, jnp.int32(0x7FFFFFFF))
+            hC = hm[ctx_l : ctx_l + tt]
+            # b >= k (cumulative): successors strictly greater
+            ones = jnp.ones((tt, width), jnp.bool_)
+            Rk = [ones]
+            r = ones
+            for kk in range(1, w):
+                r = r & (hm[ctx_l + kk : ctx_l + kk + tt] > hC)
+                Rk.append(r)
+            sel = Rk[w - 1]
+            # a >= j (cumulative): predecessors greater-or-equal
+            lacc = ones
+            for j in range(1, w):
+                lacc = lacc & (hm[ctx_l - j : ctx_l - j + tt] >= hC)
+                sel = sel | (lacc & Rk[w - 1 - j])
+            hit = sel & valid_all[ctx_l : ctx_l + tt]
+            m1c = m1[ctx_l : ctx_l + tt]
+            m2c = m2[ctx_l : ctx_l + tt]
+            for b in banks:
+                h = m1c + jnp.int32(b) * m2c
+                h = h ^ jax.lax.shift_right_logical(h, 13)
+                vi = jax.lax.shift_right_logical(h, 17) & (v - 1)
+                w7 = jax.lax.shift_right_logical(h, 10) & 127
+                bit = jax.lax.shift_right_logical(h, 5) & 31
+                bi_ = b - bank0
+
+                def unit_gather(u, w7=w7, bi_=bi_, static=False):
+                    t = jnp.broadcast_to(
+                        bloom_ref[bi_, u, :][None, :]
+                        if static
+                        else bloom_ref[bi_, pl.ds(u, 1), :],
+                        (tt, 128),
+                    )
+                    parts = [
+                        jnp.take_along_axis(
+                            t, w7[:, lb * 128 : (lb + 1) * 128], axis=1
+                        )
+                        for lb in range(width // 128)
+                    ]
+                    return (
+                        parts[0]
+                        if len(parts) == 1
+                        else jnp.concatenate(parts, axis=1)
+                    )
+
+                if unroll_units:
+                    word = unit_gather(0, static=True)
+                    for u in range(1, v):
+                        word = jnp.where(
+                            vi == u, unit_gather(u, static=True), word
+                        )
+                else:
+                    word = jax.lax.fori_loop(
+                        0,
+                        v,
+                        lambda u, wd: jnp.where(vi == u, unit_gather(u), wd),
+                        jnp.zeros((tt, width), jnp.int32),
+                    )
+                hit = hit & (
+                    (jax.lax.shift_right_logical(word, bit) & 1) == 1
+                )
+            hi = hit.astype(jnp.int32).reshape(words_per_tile, 32, width)
+            acc = jnp.zeros((words_per_tile, width), jnp.int32)
+            for b in range(32):
+                acc = acc | jax.lax.shift_left(hi[:, b, :], jnp.int32(b))
+            return acc
+
+        if cfg.blockwise:
+            for lb in range(ct // 128):
+                sl = slice(lb * 128, (lb + 1) * 128)
+                out_ref[0, :, sl] = probe_block(sl, 128)
+        else:
+            out_ref[0] = probe_block(slice(0, ct), ct)
+
+    return kernel
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
 def _probe_bits_jit(data_tm, bounds, words, *, cfg: BloomConfig, interpret):
     """bits[w, c] bit b set <=> the gram starting at row ((w*32+b)*stride)
@@ -438,31 +734,53 @@ def _probe_bits_jit(data_tm, bounds, words, *, cfg: BloomConfig, interpret):
     assert C % ct == 0 and ct % 128 == 0, (C, ct)
     tiles_c = C // ct
     wpt = GT // 32
+    compiler_params = pltpu.CompilerParams(
+        # high-v configs keep ~k*v live [GT, ct] i32 intermediates;
+        # the default 16 MB scoped-vmem cap is far below the chip's
+        vmem_limit_bytes=96 * 1024 * 1024,
+    )
+    if cfg.sampled:
+        # overlapping tile context (prev w-1 / next w+q-2 rows) as three
+        # aligned views of the tile-padded array
+        data_p = jnp.pad(data_tm, ((tt, tt), (0, 0)))
+        operands = (data_p, data_p, data_p, bounds)
+        in_specs = [
+            pl.BlockSpec((tt, ct), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tt, ct), lambda i, j: (i + 1, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tt, ct), lambda i, j: (i + 2, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, ct), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ]
+        make_kernel = _make_sampled_kernel
+    else:
+        operands = (data_tm, bounds)
+        in_specs = [
+            pl.BlockSpec((tt, ct), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, ct), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ]
+        make_kernel = _make_probe_kernel
     bits = None
     for bank0 in range(0, cfg.kbanks, MAX_BANKS_PER_KERNEL):
         nbanks = min(MAX_BANKS_PER_KERNEL, cfg.kbanks - bank0)
         group = pl.pallas_call(
-            _make_probe_kernel(cfg, ct, bank0, nbanks),
+            make_kernel(cfg, ct, bank0, nbanks),
             out_shape=jax.ShapeDtypeStruct((tiles_t, wpt, C), jnp.int32),
             grid=(tiles_t, tiles_c),
-            compiler_params=pltpu.CompilerParams(
-                # high-v configs keep ~k*v live [GT, ct] i32 intermediates;
-                # the default 16 MB scoped-vmem cap is far below the chip's
-                vmem_limit_bytes=96 * 1024 * 1024,
-            ),
-            in_specs=[
-                pl.BlockSpec((tt, ct), lambda i, j: (i, j),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((2, ct), lambda i, j: (0, j),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-            ],
+            compiler_params=compiler_params,
+            in_specs=in_specs,
             out_specs=pl.BlockSpec(
                 (1, wpt, ct), lambda i, j: (i, 0, j),
                 memory_space=pltpu.VMEM,
             ),
             interpret=interpret,
-        )(data_tm, bounds, words[bank0 : bank0 + nbanks])
+        )(*operands, words[bank0 : bank0 + nbanks])
         bits = group if bits is None else (bits & group)
     return bits.reshape(tiles_t * wpt, C)
 

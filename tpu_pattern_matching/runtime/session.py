@@ -295,37 +295,101 @@ class MatchSession:
         """Verify device candidates exactly on the host (runtime/verify.py).
 
         Two transfers max: the popcount total (4 bytes), then the complete
-        survivor bitmap only when total > 0 — there is no capacity cap."""
+        survivor bitmap only when total > 0 — there is no capacity cap.
+        Event materialization is array-driven on the native-walker path:
+        one verified (lane, end, state) row per event, group id via one
+        state_gid gather (the per-event dict/set/sort grouping was the
+        decode bottleneck on match-dense input, BENCH_NOTES.md round 2)."""
         total = int(np.asarray(comp.meta)[0])
         if total:
             rows, lanes = self._candidate_rows(comp)
         else:
             rows = lanes = np.zeros(0, np.int64)
-        grouped: dict[tuple[int, int], set[int]] = {}
-        for ln, e, pid in self._verifier.verify_batch(
+        arr = self._verifier.verify_batch_arrays(
             batch.data, lanes, rows, batch.halo, batch.start_t, batch.end_t
-        ):
-            grouped.setdefault((ln, e), set()).add(pid)
-        keys = sorted(grouped.keys()) if self.sort else list(grouped.keys())
+        )
         events = []
-        for ln, e in keys:
-            pids = sorted(grouped[(ln, e)])
-            events.append(
-                MatchEvent(
-                    file_id=int(batch.file_ids[ln]),
-                    end_offset=int(batch.base_off[ln]) + e - batch.halo,
-                    pattern_indices=pids,
-                    rep_index=pids[0],
-                    lane=ln,
-                    gid=self._gid_of_pidset.get(tuple(pids), -1),
+        if arr is not None:
+            ln_a, e_a, st_a = arr
+            gid_a = self.table.state_gid[st_a]
+            if self.sort and len(ln_a):
+                order = np.lexsort((e_a, ln_a))
+                ln_a, e_a, gid_a = ln_a[order], e_a[order], gid_a[order]
+            file_ids = batch.file_ids
+            base_off = batch.base_off
+            halo = batch.halo
+            groups = self._groups
+            for ln, e, g in zip(
+                ln_a.tolist(), e_a.tolist(), gid_a.tolist()
+            ):
+                pids = groups[g]
+                events.append(
+                    MatchEvent(
+                        file_id=int(file_ids[ln]),
+                        end_offset=int(base_off[ln]) + e - halo,
+                        pattern_indices=pids,
+                        rep_index=pids[0],
+                        lane=ln,
+                        gid=g,
+                    )
                 )
+        else:  # no native dense walker: tuple fallback
+            grouped: dict[tuple[int, int], set[int]] = {}
+            for ln, e, pid in self._verifier.verify_batch(
+                batch.data, lanes, rows, batch.halo,
+                batch.start_t, batch.end_t,
+            ):
+                grouped.setdefault((ln, e), set()).add(pid)
+            keys = (
+                sorted(grouped.keys()) if self.sort else list(grouped.keys())
             )
+            for ln, e in keys:
+                pids = sorted(grouped[(ln, e)])
+                events.append(
+                    MatchEvent(
+                        file_id=int(batch.file_ids[ln]),
+                        end_offset=int(batch.base_off[ln]) + e - batch.halo,
+                        pattern_indices=pids,
+                        rep_index=pids[0],
+                        lane=ln,
+                        gid=self._gid_of_pidset.get(tuple(pids), -1),
+                    )
+                )
         return BatchMatches(
             events=events,
             total=len(events),
             reported=len(events),
             overflowed=False,
         )
+
+    def decode_counts(self, batch: HostBatch, comp) -> tuple[int, np.ndarray]:
+        """(total_events, per-group counts [G]) WITHOUT materializing
+        per-event objects — the vectorized count path for match-dense and
+        psum workloads. Bloom: NumPy bincount over the native walker's
+        verified rows; dense: the device-side per_group_counts reduction."""
+        from tpu_pattern_matching.ops.bloom import BloomHits
+
+        G = self.table.num_groups
+        if isinstance(comp, BloomHits):
+            total = int(np.asarray(comp.meta)[0])
+            if not total:
+                return 0, np.zeros(G, np.int64)
+            rows, lanes = self._candidate_rows(comp)
+            arr = self._verifier.verify_batch_arrays(
+                batch.data, lanes, rows, batch.halo,
+                batch.start_t, batch.end_t,
+            )
+            if arr is None:
+                bm = self._decode_bloom(batch, comp)
+                return bm.total, self.event_group_counts(bm)
+            ln_a, _e_a, st_a = arr
+            gid_a = self.table.state_gid[st_a]
+            return len(ln_a), np.bincount(gid_a, minlength=G).astype(
+                np.int64
+            )
+        return int(np.asarray(comp.meta)[0]), np.asarray(
+            per_group_counts(self.dev, comp)
+        ).astype(np.int64)
 
     def scan_and_decode(self, batch: HostBatch) -> BatchMatches:
         return self.decode(batch, self.scan(batch))

@@ -181,6 +181,82 @@ class Verifier:
         m_lane = (m_k0 // span).astype(np.int32)
         return m_lane, m_k0 % span, m_k1 - m_lane.astype(np.int64) * span
 
+    def verify_batch_arrays(
+        self,
+        data: np.ndarray,
+        cand_lanes: np.ndarray,
+        cand_rows: np.ndarray,
+        halo: int,
+        start_t: np.ndarray,
+        end_t: np.ndarray,
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
+        """(lanes i32[n], end_rows i64[n], states i32[n]) — the dense
+        walker's raw output, one entry per match EVENT (the state resolves
+        to the full co-terminating group via state_gid; merged windows are
+        disjoint, so events are unique). None when the native dense walker
+        is unavailable — fall back to :meth:`verify_batch`.
+
+        This is the match-dense fast path: counting/grouping can stay in
+        NumPy instead of materializing per-event Python tuples (measured
+        decode-bound on match-saturated input, BENCH_NOTES.md round 2)."""
+        if self._dense is None or data.dtype not in (np.uint8, np.uint16):
+            return None
+        m_lane, m_w0, m_w1 = self.merged_windows(
+            cand_lanes, cand_rows, start_t, end_t
+        )
+        if len(m_lane) == 0:
+            return (
+                np.zeros(0, np.int32),
+                np.zeros(0, np.int64),
+                np.zeros(0, np.int32),
+            )
+        return self._dense_windows(
+            data, m_lane, m_w0, m_w1, halo, end_t
+        )
+
+    def _dense_windows(self, data, m_lane, m_w0, m_w1, halo, end_t):
+        """Run the native dense window walker (threaded when large)."""
+        from tpu_pattern_matching.core.oracle_native import (
+            dense_match_windows,
+        )
+
+        table_flat, alphabet, _state_gid, _groups = self._dense
+        la = np.ascontiguousarray(m_lane, np.int32)
+        a0 = np.ascontiguousarray(m_w0, np.int64)
+        a1 = np.ascontiguousarray(m_w1, np.int64)
+        lo = np.full(len(la), halo, np.int64)
+        hi = np.asarray(end_t, np.int64)[la]
+
+        def run(sl):
+            return dense_match_windows(
+                table_flat, alphabet, data,
+                la[sl], a0[sl], a1[sl], lo[sl], hi[sl],
+            )
+
+        nt = self.threads if len(la) >= 8192 else 1
+        if nt > 1:
+            # the ctypes call releases the GIL: window shards verify in
+            # parallel on match-heavy batches
+            from concurrent.futures import ThreadPoolExecutor
+
+            bounds_idx = np.linspace(0, len(la), nt + 1, dtype=int)
+            with ThreadPoolExecutor(nt) as pool:
+                parts = list(
+                    pool.map(
+                        run,
+                        [
+                            slice(bounds_idx[i], bounds_idx[i + 1])
+                            for i in range(nt)
+                        ],
+                    )
+                )
+            return (
+                np.concatenate([p[0] for p in parts]),
+                np.concatenate([p[1] for p in parts]),
+                np.concatenate([p[2] for p in parts]),
+            )
+        return run(slice(None))
+
     def verify_batch(
         self,
         data: np.ndarray,  # [C, T] uint8 lane-major batch
@@ -208,45 +284,10 @@ class Verifier:
             np.uint8,
             np.uint16,
         ):
-            from tpu_pattern_matching.core.oracle_native import (
-                dense_match_windows,
+            _, _, state_gid, groups = self._dense
+            out_lane, out_end, out_state = self._dense_windows(
+                data, m_lane, m_w0, m_w1, halo, end_t
             )
-
-            table_flat, alphabet, state_gid, groups = self._dense
-            la = np.asarray(lanes, np.int32)
-            a0 = np.asarray(w0s, np.int64)
-            a1 = np.asarray(w1s, np.int64)
-            lo = np.full(len(lanes), halo, np.int64)
-            hi = np.asarray(khis, np.int64)
-
-            def run(sl):
-                return dense_match_windows(
-                    table_flat, alphabet, data,
-                    la[sl], a0[sl], a1[sl], lo[sl], hi[sl],
-                )
-
-            nt = self.threads if len(la) >= 8192 else 1
-            if nt > 1:
-                # the ctypes call releases the GIL: window shards verify in
-                # parallel on match-heavy batches
-                from concurrent.futures import ThreadPoolExecutor
-
-                bounds_idx = np.linspace(0, len(la), nt + 1, dtype=int)
-                with ThreadPoolExecutor(nt) as pool:
-                    parts = list(
-                        pool.map(
-                            run,
-                            [
-                                slice(bounds_idx[i], bounds_idx[i + 1])
-                                for i in range(nt)
-                            ],
-                        )
-                    )
-                out_lane = np.concatenate([p[0] for p in parts])
-                out_end = np.concatenate([p[1] for p in parts])
-                out_state = np.concatenate([p[2] for p in parts])
-            else:
-                out_lane, out_end, out_state = run(slice(None))
             events: list[tuple[int, int, int]] = []
             for ln, e, st in zip(
                 out_lane.tolist(), out_end.tolist(), out_state.tolist()

@@ -57,17 +57,24 @@ def test_wide_stride_selected_for_small_sets():
     assert bft.fp_est <= 1e-3
 
 
-def test_narrow_stride_selected_for_large_sets():
-    # big sets must limit the gram load: stride (grams/pattern) shrinks
+def test_gram_load_limited_for_large_sets():
+    # big sets must limit the bloom's gram load: either the stride
+    # (grams/pattern) shrinks, or the chooser switches to winnowing-sampled
+    # mode (~1 fingerprint gram per pattern — the round-2 10k+ winner)
     rng = np.random.RandomState(0)
     pats = [bytes(rng.randint(0, 256, size=12).astype(np.uint8))
             for _ in range(10_000)]
     small = BloomFilterTable.build(pats[:100])
     big = BloomFilterTable.build(pats)
-    assert big.cfg.stride <= small.cfg.stride
-    assert big.n_grams <= 10_000 * big.cfg.stride
-    # the target is per-BYTE candidate rate (fp_est is per tested position)
-    assert big.fp_est / big.cfg.stride <= 1e-3
+    if big.cfg.sampled:
+        assert big.n_grams <= 10_000 + 100  # ~1 fingerprint per pattern
+        # expected candidates per byte: selected density ~2/(w+1) x fp
+        assert big.fp_est * 2 / (big.cfg.w + 1) <= 1.5e-3
+    else:
+        assert big.cfg.stride <= small.cfg.stride
+        assert big.n_grams <= 10_000 * big.cfg.stride
+        # per-BYTE candidate rate (fp_est is per tested position)
+        assert big.fp_est / big.cfg.stride <= 1e-3
 
 
 def test_narrow_stride_end_to_end():

@@ -1,0 +1,88 @@
+"""Real-TPU hardware tests (skipped on the CPU mesh).
+
+Run with TPM_TEST_TPU=1 on a machine with a TPU attached. Covers the
+Mosaic-compiled paths the CPU interpret-mode suite cannot: in particular
+the uint16 (ushort alphabet) bloom probe — a Mosaic-level surprise on
+uint16 lanes would otherwise be invisible until a user hits it (VERDICT
+round-1 item 8).
+"""
+
+import numpy as np
+import pytest
+
+
+def _on_tpu():
+    try:
+        import jax
+
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+pytestmark = pytest.mark.skipif(
+    not _on_tpu(), reason="needs a real TPU (run with TPM_TEST_TPU=1)"
+)
+
+
+def test_ushort_bloom_probe_on_hardware():
+    # alphabet-2048 signatures on uint16 lanes: the Mosaic-compiled probe
+    # must agree with the exact verifier (and the planted occurrences)
+    from tpu_pattern_matching.core.dfa import AhoCorasick
+    from tpu_pattern_matching.core.oracle import match_python
+    from tpu_pattern_matching.ops.bloom import BloomFilterTable, unpack_hit_rows
+    from tpu_pattern_matching.runtime.verify import Verifier
+
+    ac = AhoCorasick(alphabet_size=2048)
+    sigs = [(40, 32, 287, 32, 106, 196), (1500, 1500, 40), (7, 7, 7, 7)]
+    for s in sigs:
+        ac.add_pattern(s)
+    table = ac.compile()
+    bft = BloomFilterTable.from_table(table)
+
+    rng = np.random.RandomState(0)
+    C, B, halo = 256, 512, 16
+    data = rng.randint(0, 2048, size=(C, halo + B)).astype(np.uint16)
+    plants = [(0, 100), (3, 500), (128, 5), (255, B - 10)]
+    for i, (ln, pos) in enumerate(plants):
+        s = sigs[i % len(sigs)]
+        data[ln, halo + pos : halo + pos + len(s)] = s
+    start_t = np.full(C, halo, np.int32)
+    end_t = np.full(C, halo + B, np.int32)
+
+    hits = bft.put().hits(data, np.stack([start_t, end_t]))
+    total = int(np.asarray(hits.meta)[0])
+    assert total > 0
+    rows, lanes = unpack_hit_rows(np.asarray(hits.bits), bft.cfg.stride)
+    v = Verifier([p.symbols for p in table.patterns], alphabet_size=2048,
+                 q=bft.cfg.q, max_pat_len=table.max_pat_len,
+                 dense_table=table)
+    got = sorted(set(v.verify_batch(data, lanes, rows, halo, start_t, end_t)))
+    want = []
+    for ln in range(C):
+        for e, pid in match_python(
+            [p.symbols for p in table.patterns], data[ln, halo:].tolist()
+        ):
+            want.append((ln, e + halo, pid))
+    assert got == sorted(want)
+    assert len(got) >= len(plants)
+
+
+def test_sampled_kernel_on_hardware():
+    # the winnowing-sampled kernel end-to-end on hardware
+    from tpu_pattern_matching.core.dfa import compile_patterns
+    from tpu_pattern_matching.core.oracle import match_python
+    from tpu_pattern_matching.runtime.session import MatchSession
+
+    rng = np.random.RandomState(4)
+    pats = [bytes(rng.randint(0, 256, size=12).astype(np.uint8))
+            for _ in range(256)]
+    data = bytearray(rng.randint(0, 256, size=1 << 16).astype(np.uint8))
+    for i, pos in enumerate((0, 5000, 65500)):
+        p = pats[i]
+        data[pos : pos + len(p)] = p
+    data = bytes(data)
+    sess = MatchSession(compile_patterns(pats), max_chunks=128,
+                        chunk_len=512, engine="bloom",
+                        bloom_opts={"mode": "sampled"})
+    assert sess.find(data) == sorted(match_python(pats, data))

@@ -264,12 +264,23 @@ def test_ushort_follow_mode(tmp_path):
         stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, cwd=repo,
         env={**os.environ, "JAX_PLATFORMS": "cpu"},
     )
-    time.sleep(25)  # let it start following (jax import under suite load)
+    # poll: the appended marker is only written once the subprocess has
+    # survived jax init (fixed sleeps flake under full-suite CPU load)
+    import select as _select
+
+    deadline = time.time() + 240
+    time.sleep(20)
     with open(flow, "a") as fh:
         fh.write("500,501,502,")
-    time.sleep(15)
+    # wait until the match line appears on stdout, then interrupt
+    seen = b""
+    while time.time() < deadline and b"grow" not in seen:
+        r, _, _ = _select.select([proc.stdout], [], [], 1.0)
+        if r:
+            seen += os.read(proc.stdout.fileno(), 65536)
     proc.send_signal(signal.SIGINT)
-    out, _ = proc.communicate(timeout=300)
+    out, _ = proc.communicate(timeout=600)
+    out = seen + out
     assert proc.returncode == 0
     assert b"STATS" in out
     assert b"Pattern 0 ('grow')" in out  # appended occurrence was found

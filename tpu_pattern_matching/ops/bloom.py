@@ -301,6 +301,14 @@ class BloomFilterTable:
                 c = (2.5 * q + k * (4 + 5 * v)) / s
                 if s not in (1, 2, 4, 8, 16):
                     c *= 1.6
+                # cross-mode calibration from interleaved A/B on v5e
+                # (round 2): at 10k x 12B, strided q4s4k8v16 measured
+                # 6.15 GB/s vs sampled q5w8k7v4 6.64 GB/s, while the
+                # sampled model's own 10k->100k scaling was accurate
+                # (predicted 11x, measured 11.7x) — strided's stride
+                # amortization is optimistic (the [GT, s, width] window
+                # reshape relayout isn't free even at pow2 strides)
+                c *= 1.3
             groups = -(-k // 8)  # MAX_BANKS_PER_KERNEL
             c *= 1 + 0.5 * (groups - 1)
             if min(k, 8) * v * 8 > 1024:

@@ -149,3 +149,25 @@ def test_sampled_save_load_roundtrip(tmp_path):
 def test_sampled_rejects_too_short_patterns():
     with pytest.raises(ValueError, match="too short"):
         _winnow_grams([[1, 2, 3]], q=2, w=5, mix1=(3, 5))
+
+
+def test_sampled_under_mesh():
+    # the sampled kernel through MatchSession(mesh=): shard_map + the
+    # three-view overlapping BlockSpecs must compose
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device mesh")
+    rng = np.random.RandomState(13)
+    pats = [bytes(rng.randint(0, 256, size=10).astype(np.uint8))
+            for _ in range(32)]
+    data = bytearray(rng.randint(0, 256, size=1 << 13).astype(np.uint8))
+    for pos in (5, 4000, 8100):
+        data[pos : pos + 10] = pats[pos % 32]
+    data = bytes(data)
+    sess = MatchSession(
+        compile_patterns(pats), max_chunks=16, chunk_len=64,
+        engine="bloom", bloom_opts={"mode": "sampled"}, mesh="all",
+    )
+    assert sess.bloom_table.cfg.sampled
+    assert sess.find(data) == sorted(match_python(pats, data))

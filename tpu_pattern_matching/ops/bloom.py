@@ -399,6 +399,15 @@ class BloomFilterTable:
             float(np.unpackbits(words[b].view(np.uint8)).mean())
             for b in range(k)
         ]
+        from tpu_pattern_matching.utils.debug import dprint
+
+        dprint(
+            1,
+            "bloom build: mode=%s q=%d stride=%d w=%d k=%d v=%d grams=%d "
+            "fp_est=%.3g",
+            "sampled" if w else "strided", q, stride, w, k, v, n,
+            float(np.prod(dens)),
+        )
         return BloomFilterTable(
             words=words.view(np.int32),
             cfg=cfg,
@@ -821,6 +830,9 @@ def _hits_jit(data, bounds, words, *, cfg, interpret):
     bits = _probe_bits_jit(data_tm, bounds, words, cfg=cfg,
                            interpret=interpret)
     total = jnp.sum(jax.lax.population_count(bits))
+    from tpu_pattern_matching.utils.debug import kernel_debug
+
+    kernel_debug("bloom batch: {} survivor grams", total)  # TPM_DEBUG>=2
     return total.reshape(1), bits
 
 

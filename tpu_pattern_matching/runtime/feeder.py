@@ -168,6 +168,10 @@ class Feeder:
                     if self.terminate.is_set():
                         break
                     if cur not in handles:
+                        from tpu_pattern_matching.utils.debug import dprint
+
+                        dprint(2, "feeder[%d]: open %s", wid,
+                               self.filenames[cur])
                         handles[cur] = _open_input(self.filenames[cur])
                         streams[cur] = StreamState(file_id=cur)
                     elif handles[cur].seekable():

@@ -172,6 +172,14 @@ class MatchSession:
         self.chunk_len = chunk_len
         self.max_results = max_results
         self.sort = sort
+        from tpu_pattern_matching.utils.debug import dprint
+
+        dprint(
+            1,
+            "session: engine=%s chunks=%dx%d halo=%d mesh=%s device=%s",
+            engine, max_chunks, chunk_len, self.halo,
+            getattr(self._mesh_ctx, "mesh", None), self.device,
+        )
         self._groups = table.groups_as_lists()
         self._gid_of_pidset = {
             tuple(sorted(pids)): g for g, pids in enumerate(self._groups)

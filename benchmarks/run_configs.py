@@ -277,7 +277,13 @@ def config5() -> None:
     dev = DeviceTable.put(table, ctx.replicated)
     halo = table.max_pat_len - 1
     n_dev = ctx.num_devices
-    C = 512 * n_dev
+    # size lanes to hold the WHOLE corpus in one sharded batch (a lane
+    # count below corpus/chunk_len would silently truncate the dense arm
+    # while the bloom session streams everything — caught on the 1-chip
+    # run), rounded to the mesh's 128-per-shard alignment
+    from tpu_pattern_matching.utils.common import cdiv, roundup
+
+    C = roundup(cdiv(len(corpus), 256) + 1, 128 * n_dev)
     buf = DataBuffer(C, 256, halo)
     buf.add_stream(io.BytesIO(corpus), StreamState(file_id=0))
     batch = buf.to_batch()

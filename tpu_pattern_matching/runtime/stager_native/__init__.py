@@ -33,11 +33,27 @@ def _lib():
         if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(
             _SRC
         ):
-            cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", _SO, _SRC]
-            try:
-                subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-            except (subprocess.SubprocessError, FileNotFoundError) as e:
-                raise StagerUnavailable(f"cannot build native stager: {e}") from e
+            base = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                    "-o", _SO, _SRC]
+            tuned = base[:1] + ["-march=native"] + base[1:]
+            err = None
+            for cmd in (tuned, base):  # host tuning; plain -O3 fallback
+                try:
+                    subprocess.run(
+                        cmd, check=True, capture_output=True, timeout=120
+                    )
+                    err = None
+                    break
+                except FileNotFoundError as e:
+                    raise StagerUnavailable(
+                        f"cannot build native stager: {e}"
+                    ) from e
+                except subprocess.SubprocessError as e:
+                    err = e
+            if err is not None:
+                raise StagerUnavailable(
+                    f"cannot build native stager: {err}"
+                ) from err
         lib = ctypes.CDLL(_SO)
         lib.stage_stream.restype = ctypes.c_int64
         lib.stage_stream.argtypes = [

@@ -67,7 +67,36 @@ _WORKER = textwrap.dedent(
     jax.block_until_ready((total, bits))
     t = int(np.asarray(jax.device_get(total))[0])
     assert t >= 1, t  # the planted gram survives on every process's view
-    print(f"proc {pid} OK total={t}", flush=True)
+
+    # ---- the PRODUCT path across processes: MatchSession(mesh=) ----
+    # every process feeds the same global batch; scan shards it over the
+    # 4-device/2-process mesh; decode sees a non-fully-addressable bitmap
+    # and verifies only this host's lane columns; group counts are then
+    # psum-reduced across processes (BASELINE config 5 shape).
+    import io
+    from tpu_pattern_matching.core.oracle import match_python
+    from tpu_pattern_matching.parallel.mesh import allreduce_host_counts
+    from tpu_pattern_matching.runtime.buffers import StreamState
+    from tpu_pattern_matching.runtime.session import MatchSession
+
+    rng2 = np.random.RandomState(17)  # identical payload on every process
+    payload = bytearray(rng2.randint(0, 256, size=512 * 64).astype(np.uint8))
+    for pos in (100, 9000, 30000):
+        payload[pos : pos + 8] = pats[pos % 16]
+    payload = bytes(payload)
+    sess = MatchSession(table, max_chunks=512, chunk_len=64,
+                        engine="bloom", mesh=ctx)
+    buf = sess.new_buffer()
+    buf.add_stream(io.BytesIO(payload), StreamState(file_id=0))
+    batch = buf.to_batch()
+    bm = sess.decode(batch, sess.scan(batch))  # local-shard events only
+    counts = allreduce_host_counts(sess.event_group_counts(bm))
+    # events are unique (lane, end) sites; compare against distinct match
+    # end offsets from the oracle
+    want = len({off for off, _ in match_python(pats, payload)})
+    got = int(counts.sum())
+    assert got == want, (got, want)
+    print(f"proc {pid} OK total={t} session_events={got}", flush=True)
     """
 )
 

@@ -313,3 +313,22 @@ def test_overflow_warning_surfaced(capsys, tmp_path):
     assert rc == 0
     assert "WARNING: result slots overflowed" in captured.err
     assert "59 match(es) not reported" in captured.err  # 63 total, 4 slots
+
+
+def test_check_args_value_rules(capsys, tmp_path):
+    # reference check_args rules (ocl_aho_grep.c:210-267)
+    pat = tmp_path / "p.txt"
+    pat.write_text("x\n")
+    data = tmp_path / "d.txt"
+    data.write_bytes(b"x")
+    for argv, msg in (
+        (["-f", str(data), "-p", "/nope/missing.txt"], "does not exist"),
+        (["-f", str(data), "-p", str(pat), "-w", "0"], "thread number"),
+        (["-f", str(data), "-p", str(pat), "-m", "0"], "size limit"),
+        (["-f", str(data), "-p", str(pat), "-m", "4096"], "<= 4095"),
+        (["-f", str(data), "-p", str(pat), "-R", "0"], "result cells"),
+    ):
+        with pytest.raises(SystemExit) as ei:
+            main(argv)
+        assert ei.value.code == 2
+        assert msg in capsys.readouterr().err

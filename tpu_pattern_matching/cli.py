@@ -98,11 +98,56 @@ def build_argparser() -> argparse.ArgumentParser:
     return ap
 
 
+MAX_PAT_SIZE = 4096  # reference utils.h:14
+
+
+def check_args(args) -> None:
+    """Argument validation (reference check_args, ocl_aho_grep.c:210-267).
+
+    argparse covers presence/typing; the value-range rules are mirrored
+    here with the reference's messages."""
+    import os
+
+    err = 0
+    if args.pat_path and not os.path.exists(args.pat_path) and not args.load_dfa:
+        print(f"ERROR: File '{args.pat_path}' does not exist", file=sys.stderr)
+        err += 1
+    if args.thread_no <= 0:
+        print("ERROR: The thread number must be greater than 0", file=sys.stderr)
+        err += 1
+    if args.pat_size_limit != -1 and args.pat_size_limit <= 0:
+        print("ERROR: The pattern size limit should be >= 1", file=sys.stderr)
+        err += 1
+    if args.pat_size_limit >= MAX_PAT_SIZE:
+        print(
+            f"ERROR: The pattern size limit should be <= {MAX_PAT_SIZE - 1}",
+            file=sys.stderr,
+        )
+        err += 1
+    if args.max_results <= 0:
+        print("ERROR: The maximum result cells should be >= 1", file=sys.stderr)
+        err += 1
+    if args.chunk_size <= 0 or args.global_ws <= 0:
+        print("ERROR: chunk size and global work size must be >= 1",
+              file=sys.stderr)
+        err += 1
+    if err:
+        sys.exit(2)
+
+
 def align_parameters(args) -> None:
-    """Round -B to 16 bytes with a warning (reference align_parameters,
-    ocl_aho_grep.c:315-346)."""
+    """Round -B (and -L/-G, accepted for compatibility) to 16 with a
+    warning (reference align_parameters, ocl_aho_grep.c:315-346)."""
     from tpu_pattern_matching.utils.common import roundup
 
+    if args.local_ws % 16:
+        fixed = roundup(args.local_ws, 16)
+        print(
+            f"WARNING: local work size '{args.local_ws}' is not 16B "
+            f"aligned. Will use '{fixed}' instead",
+            file=sys.stderr,
+        )
+        args.local_ws = fixed
     if args.chunk_size % 16:
         fixed = roundup(args.chunk_size, 16)
         print(
@@ -153,6 +198,7 @@ def compile_table(args) -> DfaTable:
 def main(argv: list[str] | None = None) -> int:
     args = build_argparser().parse_args(argv)
     raise_nofile_limit()
+    check_args(args)
     align_parameters(args)
 
     if args.ushort:

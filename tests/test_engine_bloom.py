@@ -66,15 +66,16 @@ def test_gram_load_limited_for_large_sets():
             for _ in range(10_000)]
     small = BloomFilterTable.build(pats[:100])
     big = BloomFilterTable.build(pats)
+    # per-BYTE candidate rate must stay inside the chooser's rate cap
+    # (<= 4e-3: a soft verify surcharge replaced the hard 1e-3 target in
+    # round 2 — measured faster to spend a little verify headroom)
     if big.cfg.sampled:
         assert big.n_grams <= 10_000 + 100  # ~1 fingerprint per pattern
-        # expected candidates per byte: selected density ~2/(w+1) x fp
-        assert big.fp_est * 2 / (big.cfg.w + 1) <= 1.5e-3
+        assert big.fp_est * 2 / (big.cfg.w + 1) <= 4e-3
     else:
         assert big.cfg.stride <= small.cfg.stride
         assert big.n_grams <= 10_000 * big.cfg.stride
-        # per-BYTE candidate rate (fp_est is per tested position)
-        assert big.fp_est / big.cfg.stride <= 1e-3
+        assert big.fp_est / big.cfg.stride <= 4e-3
 
 
 def test_narrow_stride_end_to_end():

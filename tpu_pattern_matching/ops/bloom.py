@@ -315,14 +315,27 @@ class BloomFilterTable:
                 c *= 1.3
             return c
 
-        best = None  # (cost, q, s, w, k, v) meeting fp_target
+        best = None  # (objective, q, s, w, k, v) meeting the rate cap
         fallback = None  # (rate, cost, q, s, w, k, v) best-effort
+
+        # Soft verify surcharge + throughput-coupled cap (round-2 A/B:
+        # at 100k the hard fp_target forced a 9th bank = a second ANDed
+        # kernel pass, measured 13% slower than k=8 at a still-harmless
+        # candidate rate). A candidate costs ~1800 probe-cost units of
+        # host verify (4.4M windows/s/thread vs ~0.03ns/byte/cost-unit
+        # device), and the rate a config may spend scales with its cost:
+        # fast configs saturate the host verifier at lower rates.
+        VERIFY_UNITS = 1800.0
+
+        def rate_cap(cost):
+            return max(fp_target, min(4e-3, 2e-5 * cost))
 
         def consider(rate, cost, q, s, w, k, v):
             nonlocal best, fallback
-            if rate <= fp_target:
-                if best is None or cost < best[0]:
-                    best = (cost, q, s, w, k, v)
+            if rate <= rate_cap(cost):
+                obj = cost + rate * VERIFY_UNITS
+                if best is None or obj < best[0]:
+                    best = (obj, q, s, w, k, v)
                 return True
             if fallback is None or rate < fallback[0] or (
                 rate == fallback[0] and cost < fallback[1]
@@ -378,7 +391,10 @@ class BloomFilterTable:
 
         cfg = BloomConfig(q=q, stride=stride, kbanks=k, v=v,
                           mix1=mix1, mix2=mix2, fold_case=fold_case,
-                          sampled=bool(w), w=w)
+                          sampled=bool(w), w=w,
+                          # sampled tiles amortize hash+selection over more
+                          # rows: gt=128 measured +3-12% over 64 on v5e
+                          gt=128 if w else GT)
 
         words = np.zeros((k, v, 128), np.uint32)
         if grams:

@@ -193,16 +193,31 @@ def config4(data_dir: str) -> None:
         chunk_len=4096,
         halo=sess.halo,
     )
+    from collections import deque
+
     t0 = time.perf_counter()
     feeder.start()
     total_bytes = 0
     total_matches = 0
     rounds = 0
-    for item in feeder:
-        bm = sess.scan_and_decode(item.batch)
+    pending: deque = deque()
+
+    def consume(item, comp):
+        nonlocal total_bytes, total_matches, rounds
+        bm = sess.decode(item.batch, comp)
         total_bytes += item.bytes
         total_matches += bm.total
         rounds += 1
+
+    for item in feeder:
+        # depth-2 pipeline (decode of batch k overlaps scan of k+1), as
+        # the CLI does — serial scan_and_decode pays a full roundtrip
+        # per round on remote-attached devices
+        pending.append((item, sess.scan(item.batch)))
+        if len(pending) >= 2:
+            consume(*pending.popleft())
+    while pending:
+        consume(*pending.popleft())
     dt = time.perf_counter() - t0
     emit(
         "4_clamav15000_streaming",

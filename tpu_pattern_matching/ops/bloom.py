@@ -886,11 +886,18 @@ class DeviceBloom:
 
 def unpack_hit_rows(bits: np.ndarray, stride: int):
     """Host-side bitmap expansion: [W, C] int32 -> (rows, lanes) arrays of
-    candidate gram start rows (already in row units, halo included)."""
+    candidate gram start rows (already in row units, halo included).
+
+    Cost is proportional to NONZERO words, not the bitmap (the full 32x
+    bool expansion was a measurable slice of per-round decode on sparse
+    batches — host decode shares one core with the feeder here)."""
     u = bits.view(np.uint32) if bits.dtype == np.int32 else bits
-    expanded = (
-        (u[:, None, :] >> np.arange(32, dtype=np.uint32)[None, :, None]) & 1
-    ).astype(bool)
-    W, _, C = expanded.shape
-    g, lanes = np.nonzero(expanded.reshape(W * 32, C))
-    return (g * stride).astype(np.int64), lanes
+    wi, ci = np.nonzero(u)
+    if len(wi) == 0:
+        z = np.zeros(0, np.int64)
+        return z, z
+    vals = u[wi, ci]
+    planes = (vals[:, None] >> np.arange(32, dtype=np.uint32)[None, :]) & 1
+    k, bit = np.nonzero(planes)
+    rows = (wi[k].astype(np.int64) * 32 + bit) * stride
+    return rows, ci[k].astype(np.int64)

@@ -171,3 +171,58 @@ def test_sampled_under_mesh():
     )
     assert sess.bloom_table.cfg.sampled
     assert sess.find(data) == sorted(match_python(pats, data))
+
+
+def test_sampled_nocase():
+    # fold_case folds input symbols in-kernel BEFORE the selection hash;
+    # patterns are compile-time folded — both sides must agree
+    from tpu_pattern_matching.core.dfa import AhoCorasick
+
+    ac = AhoCorasick(nocase=True)
+    for p in (b"NeEdLe", b"HAYSTACK"):
+        ac.add_pattern(p)
+    table = ac.compile()
+    sess = MatchSession(table, max_chunks=4, chunk_len=128,
+                        engine="bloom", bloom_opts={"mode": "sampled"})
+    data = b"xx needle yy HaYsTaCk zz NEEDLE"
+    got = sess.find(data)
+    folded = bytes(c + 32 if 65 <= c <= 90 else c for c in data)
+    want = sorted(match_python([b"needle", b"haystack"], folded))
+    assert got == want and len(got) == 3
+
+
+def test_sampled_ushort_alphabet():
+    # winnowing over the 2048 metadata alphabet (uint16 lanes)
+    from tpu_pattern_matching.core.dfa import AhoCorasick
+    from tpu_pattern_matching.ops.bloom import unpack_hit_rows
+    from tpu_pattern_matching.runtime.verify import Verifier
+
+    ac = AhoCorasick(alphabet_size=2048)
+    sigs = [(40, 32, 287, 32, 106, 196), (1500, 1500, 40, 9),
+            (7, 7, 7, 7, 7)]
+    for s in sigs:
+        ac.add_pattern(s)
+    table = ac.compile()
+    bft = BloomFilterTable.from_table(table, mode="sampled")
+    assert bft.cfg.sampled
+    rng = np.random.RandomState(2)
+    C, B, halo = 4, 256, 8
+    data = rng.randint(0, 2048, size=(C, halo + B)).astype(np.uint16)
+    data[0, halo + 10 : halo + 16] = sigs[0]
+    data[2, halo + 200 : halo + 205] = sigs[2]
+    start_t = np.full(C, halo, np.int32)
+    end_t = np.full(C, halo + B, np.int32)
+    hits = bft.put().hits(data, np.stack([start_t, end_t]))
+    rows, lanes = unpack_hit_rows(np.asarray(hits.bits), bft.cfg.stride)
+    v = Verifier([p.symbols for p in table.patterns], alphabet_size=2048,
+                 q=bft.cfg.q, max_pat_len=table.max_pat_len,
+                 dense_table=table)
+    got = sorted(set(v.verify_batch(data, lanes, rows, halo,
+                                    start_t, end_t)))
+    want = []
+    for ln in range(C):
+        for e, pid in match_python(
+            [p.symbols for p in table.patterns], data[ln, halo:].tolist()
+        ):
+            want.append((ln, e + halo, pid))
+    assert got == sorted(want) and len(got) >= 2

@@ -332,3 +332,22 @@ def test_check_args_value_rules(capsys, tmp_path):
             main(argv)
         assert ei.value.code == 2
         assert msg in capsys.readouterr().err
+
+
+def test_profile_flag_writes_trace(capsys, corpus_dir, tmp_path):
+    tmp, pat, data, patterns, corpus = corpus_dir
+    tdir = tmp_path / "trace"
+    rc, out = run_cli(
+        capsys,
+        ["-f", data, "-p", pat, "-B", "256", "-G", "16", "-w", "1",
+         "--profile", str(tdir)],
+    )
+    assert rc == 0
+    import os
+
+    found = [
+        os.path.join(r, f)
+        for r, _, fs in os.walk(tdir)
+        for f in fs
+    ]
+    assert found, "profiler trace directory is empty"

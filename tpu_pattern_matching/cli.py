@@ -148,6 +148,14 @@ def align_parameters(args) -> None:
             file=sys.stderr,
         )
         args.local_ws = fixed
+    if args.global_ws % 16:
+        fixed = roundup(args.global_ws, 16)
+        print(
+            f"WARNING: global work size {args.global_ws} is not 16B "
+            f"aligned. Will use '{fixed}' instead.",
+            file=sys.stderr,
+        )
+        args.global_ws = fixed
     if args.chunk_size % 16:
         fixed = roundup(args.chunk_size, 16)
         print(

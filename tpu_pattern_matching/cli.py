@@ -34,7 +34,6 @@ import argparse
 import signal
 import sys
 
-import numpy as np
 
 from tpu_pattern_matching.core.dfa import AhoCorasick, DfaTable, ALPHABET_USHORT
 from tpu_pattern_matching.core.patterns import (

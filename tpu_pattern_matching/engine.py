@@ -16,7 +16,6 @@ from __future__ import annotations
 from typing import Callable
 
 import jax
-import jax.numpy as jnp
 
 from tpu_pattern_matching.core.dfa import DfaTable
 from tpu_pattern_matching.ops.table import DeviceTable

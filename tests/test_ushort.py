@@ -284,3 +284,22 @@ def test_ushort_follow_mode(tmp_path):
     assert proc.returncode == 0
     assert b"STATS" in out
     assert b"Pattern 0 ('grow')" in out  # appended occurrence was found
+
+
+def test_ushort_library_find_on_flow_text():
+    # MatchSession.find over flow TEXT for metadata tables: new_buffer
+    # returns the token-parsing UshortBuffer for non-byte alphabets
+    from tpu_pattern_matching.runtime.session import MatchSession
+
+    import tempfile, os
+
+    with tempfile.NamedTemporaryFile("w", suffix=".sigs", delete=False) as f:
+        f.write("40,32,287; 3; alpha\n7,7,7; 3; beta\n")
+        path = f.name
+    try:
+        table = compile_signatures(path)
+        sess = MatchSession(table, max_chunks=4, chunk_len=16, engine="dense")
+        got = sess.find(b"9, 40, 32, 287, 1, 7,7,7,7")
+        assert got == [(3, 0), (7, 1), (8, 1)]
+    finally:
+        os.unlink(path)

@@ -20,12 +20,17 @@ Mirrors the reference CLI surface (ocl_aho_grep.c:411-459, usage 150-204):
   -h              help
 
 Extensions beyond the reference:
+  --mesh N|all    data-parallel multi-chip scan (lanes sharded, table
+                  replicated, totals psum-reduced)
+  --engine        auto | bloom (Pallas q-gram filter + exact host verify,
+                  the TPU hot path) | dense (exact-on-device DFA walk)
   --ushort        packet-metadata mode (AC_ushorts variant): patterns are
                   metadata signatures ("seq; len; name"), inputs are
                   comma-separated ushort lines
   --sort          sort matches by offset before reporting
   --save-dfa/--load-dfa   compiled-automaton serialization (npz)
   --json-stats    machine-readable stats line in addition to the stats block
+  --profile DIR   jax.profiler trace of the run
 """
 
 from __future__ import annotations

@@ -188,6 +188,14 @@ class MatchSession:
     # ------------------------------------------------------------- plumbing
 
     def new_buffer(self) -> DataBuffer:
+        """A batch buffer matching this session's symbol width: byte
+        sessions get the binary/text DataBuffer, ushort-alphabet sessions
+        the token-parsing UshortBuffer — so scan_stream/find work on flow
+        text for metadata tables too."""
+        if self.table.alphabet_size != 256:
+            from tpu_pattern_matching.runtime.buffers import UshortBuffer
+
+            return UshortBuffer(self.max_chunks, self.chunk_len, self.halo)
         return DataBuffer(self.max_chunks, self.chunk_len, self.halo)
 
     def scan(self, batch: HostBatch):

@@ -351,3 +351,25 @@ def test_profile_flag_writes_trace(capsys, corpus_dir, tmp_path):
         for f in fs
     ]
     assert found, "profiler trace directory is empty"
+
+
+def test_save_load_bloom_filter(capsys, corpus_dir, tmp_path):
+    # precompiled-filter cold start: --save-bloom then --load-bloom must
+    # reproduce identical output without rebuilding the filter
+    tmp, pat, data, patterns, corpus = corpus_dir
+    bpath = str(tmp_path / "filter.npz")
+    rc, out1 = run_cli(
+        capsys,
+        ["-f", data, "-p", pat, "-B", "128", "-G", "16", "-v", "-w", "1",
+         "--engine", "bloom", "--sort", "--save-bloom", bpath],
+    )
+    assert rc == 0 and os.path.exists(bpath)
+    rc, out2 = run_cli(
+        capsys,
+        ["-f", data, "-p", pat, "-B", "128", "-G", "16", "-v", "-w", "1",
+         "--engine", "bloom", "--sort", "--load-bloom", bpath],
+    )
+    assert rc == 0
+    p1 = sorted(l for l in out1.splitlines() if l.startswith("Pattern"))
+    p2 = sorted(l for l in out2.splitlines() if l.startswith("Pattern"))
+    assert p1 == p2 and len(p1) > 0

@@ -97,6 +97,15 @@ def build_argparser() -> argparse.ArgumentParser:
     )
     ap.add_argument("--save-dfa", dest="save_dfa")
     ap.add_argument("--load-dfa", dest="load_dfa")
+    ap.add_argument(
+        "--save-bloom", dest="save_bloom",
+        help="dump the compiled bloom filter (npz) after building it",
+    )
+    ap.add_argument(
+        "--load-bloom", dest="load_bloom",
+        help="load a precompiled bloom filter instead of rebuilding "
+        "(pair with --load-dfa for a build-free cold start)",
+    )
     ap.add_argument("--json-stats", action="store_true")
     ap.add_argument("--profile", help="write a jax.profiler trace to this dir")
     return ap
@@ -235,6 +244,12 @@ def main(argv: list[str] | None = None) -> int:
         print("ERROR: Could not open input file(s) for reading.", file=sys.stderr)
         sys.exit(2)
 
+    bloom_table = None
+    if args.load_bloom:
+        from tpu_pattern_matching.ops.bloom import BloomFilterTable
+
+        bloom_table = BloomFilterTable.load(args.load_bloom)
+
     sess = MatchSession(
         table,
         max_chunks=args.global_ws,
@@ -246,7 +261,10 @@ def main(argv: list[str] | None = None) -> int:
         # -D selects the pos-th device (the reference's clinitctx device
         # walk, ocl_context.c:18-85); a mesh supersedes single-device pinning
         device=None if mesh is not None else args.dev_pos,
+        bloom_table=bloom_table,
     )
+    if args.save_bloom and sess.engine == "bloom":
+        sess.bloom_table.save(args.save_bloom)
 
     feeder = Feeder(
         filenames,

@@ -66,6 +66,7 @@ class MatchSession:
         bloom_opts: dict | None = None,
         mesh=None,
         device=None,
+        bloom_table=None,
     ):
         """``engine`` selects the device scan:
 
@@ -143,7 +144,15 @@ class MatchSession:
             from tpu_pattern_matching.ops.bloom import BloomFilterTable
             from tpu_pattern_matching.runtime.verify import Verifier
 
-            bft = BloomFilterTable.from_table(table, **(bloom_opts or {}))
+            # a precompiled filter (BloomFilterTable.load) skips the
+            # chooser+insertion build — at 100k patterns that is ~20s of
+            # winnowing/search per process (plus the AC table via
+            # DfaTable.load, the full cold-start path is file reads only)
+            bft = (
+                bloom_table
+                if bloom_table is not None
+                else BloomFilterTable.from_table(table, **(bloom_opts or {}))
+            )
             self.bloom_table = bft
             self._bloom = bft.put(sharding)
             self._verifier = Verifier(

@@ -233,3 +233,34 @@ def test_vectorized_window_merge_matches_scalar():
         for w0, w1 in v.windows_for(rs, int(start_t[ln]), int(end_t[ln])):
             want.append((ln, w0, w1))
     assert got == sorted(want)
+
+
+def test_length_one_patterns_all_engines():
+    # lmin=1 pins the chooser to q=1 stride=1 (and w=1 sampled, where
+    # every position is trivially selected); both engines must stay exact
+    from tpu_pattern_matching.core.oracle import match_python
+
+    pats = [b"x", b"\x00", b"ab"]
+    data = b"x" + b"\x00" * 3 + b"zabx" * 10
+    want = sorted(match_python(pats, data))
+    for eng in ("dense", "bloom"):
+        sess = MatchSession(compile_patterns(pats), max_chunks=4,
+                            chunk_len=16, engine=eng)
+        assert sess.find(data) == want, eng
+
+
+def test_long_pattern_exceeds_chunk_all_engines():
+    # a 1024-byte pattern across 256-byte chunks: the halo covers
+    # max_pat_len-1 so the match (spanning 5 lanes) must still report once
+    import numpy as np
+
+    from tpu_pattern_matching.core.oracle import match_python
+
+    rng = np.random.RandomState(0)
+    pats = [bytes(rng.randint(0, 256, size=1024).astype(np.uint8)), b"zz"]
+    data = b"a" * 100 + pats[0] + b"zz" + b"b" * 50
+    want = sorted(match_python(pats, data))
+    for eng in ("dense", "bloom"):
+        sess = MatchSession(compile_patterns(pats), max_chunks=8,
+                            chunk_len=256, engine=eng)
+        assert sess.find(data) == want, eng

@@ -172,3 +172,26 @@ def test_multi_file_ids():
     bm = sess.scan_and_decode(buf.to_batch())
     got = sorted((e.file_id, e.end_offset) for e in bm.events)
     assert got == [(7, 3), (9, 1)]
+
+
+def test_find_raises_on_slot_overflow():
+    # find() is the "give me ALL matches" API: silent partial results on
+    # R-slot overflow (found by the round-2 fuzz campaign on match-dense
+    # binary-alphabet data) must be a loud error, with the workaround in
+    # the message; raising max_results yields the exact oracle set
+    import numpy as np
+    import pytest
+
+    from tpu_pattern_matching.core.oracle import match_python
+
+    rng = np.random.RandomState(0)
+    pats = list({bytes(rng.randint(0, 2, size=5).astype(np.uint8))
+                 for _ in range(8)})
+    data = bytes(rng.randint(0, 2, size=2000).astype(np.uint8))
+    sess = MatchSession(compile_patterns(pats), max_chunks=2,
+                        chunk_len=256, engine="dense")
+    with pytest.raises(RuntimeError, match="max_results"):
+        sess.find(data)
+    big = MatchSession(compile_patterns(pats), max_chunks=2, chunk_len=256,
+                       engine="dense", max_results=512)
+    assert big.find(data) == sorted(match_python(pats, data))

@@ -483,9 +483,24 @@ class MatchSession:
         self, data: bytes, text_mode: bool = False
     ) -> list[tuple[int, int]]:
         """All (end_offset, pattern_index) events in ``data`` — the simplest
-        library entry point; exact parity target vs the CPU oracle."""
+        library entry point; exact parity target vs the CPU oracle.
+
+        Fails LOUD if the dense engine's per-lane result slots overflow
+        (raise ``max_results`` or use the capless bloom engine) — a
+        partial result from the "give me all matches" API would be the
+        silent loss the reference suffers from (ahomatch.cl:66) and this
+        framework disavows. Streaming consumers that prefer to handle
+        overflow themselves use :meth:`scan_stream` and the
+        ``BatchMatches.overflowed`` flag."""
         out: list[tuple[int, int]] = []
         for bm in self.scan_stream(io.BytesIO(data), text_mode=text_mode):
+            if bm.overflowed:
+                raise RuntimeError(
+                    f"result slots overflowed ({bm.total - bm.reported} "
+                    f"events dropped in one batch): raise max_results "
+                    f"(currently {self.max_results}) or use the bloom "
+                    f"engine (no capacity cap)"
+                )
             for ev in bm.events:
                 out.extend(ev.expand())
         return sorted(out)

@@ -69,7 +69,11 @@ def test_sharded_equals_unsharded(mesh_ctx):
     patterns = [b"ab", b"bc"]
     data = b"abcabc" * 100
     table = compile_patterns(patterns)
-    sess = MatchSession(table, max_chunks=16, chunk_len=64, engine="dense")
+    # ~21 matches per 64-byte lane on this corpus: R must cover it (find()
+    # now fails loud on slot overflow instead of silently truncating)
+    R = 64
+    sess = MatchSession(table, max_chunks=16, chunk_len=64, engine="dense",
+                        max_results=R)
     expect = sess.find(data)
 
     dev = DeviceTable.put(table, mesh_ctx.replicated)
@@ -78,7 +82,7 @@ def test_sharded_equals_unsharded(mesh_ctx):
     buf.add_stream(io.BytesIO(data), StreamState(file_id=0))
     batch = buf.to_batch()
     step = make_sharded_scan_step(
-        mesh_ctx, dev, halo=halo, max_results=16, num_groups=table.num_groups
+        mesh_ctx, dev, halo=halo, max_results=R, num_groups=table.num_groups
     )
     counts, slot_state, slot_pos, _ = step(
         dev.table_flat,
@@ -90,7 +94,7 @@ def test_sharded_equals_unsharded(mesh_ctx):
     groups = table.groups_as_lists()
     got = []
     for ln in range(16):
-        for r in range(min(int(counts[ln]), 16)):
+        for r in range(min(int(counts[ln]), R)):
             st = int(np.asarray(slot_state)[ln, r])
             off = int(batch.base_off[ln]) + int(np.asarray(slot_pos)[ln, r])
             for pid in groups[table.state_gid[st]]:

@@ -382,6 +382,15 @@ class UshortBuffer(DataBuffer):
         if H:
             stream.tail = np.concatenate([hist, toks])[-H:]
 
+    def add_lines(self, fobj, stream):
+        """Line mode has no ushort analogue (flow files are one token
+        sequence; the reference ushort driver predates text mode) — raise
+        rather than silently reinterpret raw bytes as tokens."""
+        raise NotImplementedError(
+            "text mode is not defined for the ushort alphabet; "
+            "flow files stream through add_stream"
+        )
+
     def add_stream(self, fobj: BinaryIO, stream: StreamState) -> tuple[int, int]:
         """Text-to-token ingest. Returns (code, raw_text_bytes_read)."""
         if not isinstance(stream.tail, np.ndarray):  # first visit: token mode

@@ -420,6 +420,14 @@ class MatchSession:
         return self.decode(batch, self.scan(batch))
 
     def group_counts(self, comp: CompactMatches) -> np.ndarray:
+        """Device-side per-group counts (dense engine); bloom sessions
+        count host-verified events instead — use decode_counts or
+        event_group_counts."""
+        if self.dev is None:
+            raise ValueError(
+                "group_counts needs the dense engine; bloom sessions "
+                "count via decode_counts/event_group_counts"
+            )
         return np.asarray(per_group_counts(self.dev, comp))
 
     def event_group_counts(self, bm: BatchMatches) -> np.ndarray:

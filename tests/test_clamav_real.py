@@ -73,3 +73,66 @@ def test_real_15000_m12_truncation_builds():
     # record-keeping: the chosen config is printed so bench logs capture it
     print("15k -m12 config:", bft.cfg, "grams:", bft.n_grams,
           "fp:", bft.fp_est)
+
+
+def test_reference_word_fixtures_cli_parity(capsys):
+    # the reference's own shipped fixture pairs (tests/ and tests/1)
+    # through our CLI, offsets checked against the native oracle
+    import io
+
+    from tpu_pattern_matching.cli import main
+    from tpu_pattern_matching.core.oracle_native import NativeOracle
+
+    base = "/root/reference/tests"
+    for pat, data in (
+        (f"{base}/patterns.txt", f"{base}/input.txt"),
+        (f"{base}/1/patterns.txt", f"{base}/1/input.txt"),
+    ):
+        rc = main(["-f", data, "-p", pat, "-B", "256", "-G", "64",
+                   "-v", "-w", "1", "--sort"])
+        out = capsys.readouterr().out
+        assert rc == 0
+        got = []
+        for line in out.splitlines():
+            if line.startswith("Pattern "):
+                lbl = line.split("('")[1].split("')")[0]
+                off = int(line.split("at offset ")[1].split(" ")[0])
+                got.append((off, lbl))
+        pats = [l.strip() for l in open(pat).read().splitlines() if l.strip()]
+        corpus = open(data, "rb").read()
+        offs, pids, _ = NativeOracle([p.encode() for p in pats]).match(corpus)
+        want = sorted(
+            (int(e) - len(pats[int(p)]) + 1, pats[int(p)])
+            for e, p in zip(offs, pids)
+        )
+        assert sorted(got) == want
+        assert len(got) > 0
+
+
+def test_reference_stress_pattern_set_compiles():
+    # tests/2: the reference's 130KB pattern-only stress set — the builder
+    # and both engines must digest it and agree on a planted corpus
+    import numpy as np
+
+    from tpu_pattern_matching.core.dfa import compile_patterns
+    from tpu_pattern_matching.core.oracle_native import NativeOracle
+    from tpu_pattern_matching.runtime.session import MatchSession
+
+    pats = [
+        l.strip().encode()
+        for l in open("/root/reference/tests/2/patterns.txt").read().splitlines()
+        if l.strip()
+    ]
+    assert len(pats) > 1000
+    table = compile_patterns(pats)
+    rng = np.random.RandomState(3)
+    data = bytearray(rng.randint(0, 256, size=1 << 14).astype(np.uint8))
+    for i, pos in enumerate((10, 5000, 16000)):
+        p = pats[(i * 977) % len(pats)]
+        data[pos : pos + len(p)] = p
+    data = bytes(data)
+    want = NativeOracle(pats).match_events(data)
+    for eng in ("dense", "bloom"):
+        sess = MatchSession(table, max_chunks=8, chunk_len=2048,
+                            engine=eng, max_results=64)
+        assert sess.find(data) == want, eng

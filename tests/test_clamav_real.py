@@ -136,3 +136,32 @@ def test_reference_stress_pattern_set_compiles():
         sess = MatchSession(table, max_chunks=8, chunk_len=2048,
                             engine=eng, max_results=64)
         assert sess.find(data) == want, eng
+
+
+def test_reference_sentiment_wordlists_build():
+    # the reference's REAL sentiment wordlists (patterns/sentiment/*):
+    # negative/positive lists merge with the scored lexicon into the
+    # categorical pattern file + weight metadata (sentiment_analysis.py
+    # 66-127 role), both the decade file and the sysadmin.tsv variant
+    import os
+    import tempfile
+
+    from tpu_pattern_matching.apps.sentiment import build_sentiment_patterns
+
+    base = "/root/reference/patterns/sentiment"
+    with tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False) as f:
+        out = f.name
+    try:
+        meta = build_sentiment_patterns(
+            f"{base}/negative_words_en.txt",
+            f"{base}/positive_words_en.txt",
+            f"{base}/top-5000_2000decade.txt",
+            out,
+        )
+        lines = open(out).read().splitlines()
+        assert len(lines) > 8000 and len(meta) > 4000
+        meta2 = build_sentiment_patterns(None, None,
+                                         f"{base}/sysadmin.tsv", out)
+        assert len(meta2) > 4000
+    finally:
+        os.unlink(out)

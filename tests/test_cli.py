@@ -192,19 +192,29 @@ def test_sigint_drains_and_flushes(corpus_dir, tmp_path):
     import sys
     import time
 
+    import select
+
     tmp, pat, data, patterns, corpus = corpus_dir
     proc = subprocess.Popen(
         [sys.executable, "-m", "tpu_pattern_matching.cli",
-         "-f", data, "-p", pat, "-t", "-F", "-w", "1",
+         "-f", data, "-p", pat, "-t", "-F", "-w", "1", "-v",
          "-B", "64", "-G", "16"],
         stdout=subprocess.PIPE,
         stderr=subprocess.DEVNULL,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         env={**os.environ, "JAX_PLATFORMS": "cpu"},
     )
-    time.sleep(20)  # let it start following
+    # wait for scan output before interrupting (fixed sleeps flake under
+    # full-suite CPU load while the subprocess compiles jax)
+    seen = b""
+    deadline = time.time() + 240
+    while time.time() < deadline and b"Pattern" not in seen:
+        r, _, _ = select.select([proc.stdout], [], [], 1.0)
+        if r:
+            seen += os.read(proc.stdout.fileno(), 65536)
     proc.send_signal(signal.SIGINT)
-    out, _ = proc.communicate(timeout=120)
+    out, _ = proc.communicate(timeout=600)
+    out = seen + out
     assert proc.returncode == 0
     assert b"STATS" in out
 

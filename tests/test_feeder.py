@@ -123,6 +123,76 @@ def test_follow_mode_fifo_trickle(tmp_path):
     assert got == 150
 
 
+def _ushort_tokens(item):
+    b = item.batch
+    out = []
+    for i in range(b.chunks):
+        out.extend(b.data[i, b.start_t[i] : b.end_t[i]].tolist())
+    return out
+
+
+def _follow_ushort(tmp_path, initial: bytes, append: bytes | None,
+                   want: list[int], timeout: float = 30.0):
+    """Drive a follow-mode ushort feeder: read the initial text, optionally
+    append once the first batch arrived, stop once ``want`` is reached (or
+    on timeout), and return every token delivered in order."""
+    from tpu_pattern_matching.runtime.buffers import UshortBuffer
+
+    p = tmp_path / "flow.txt"
+    write(p, initial)
+    f = Feeder([str(p)], n_workers=1, max_chunks=2, chunk_len=4, halo=0,
+               follow=True, buffer_factory=UshortBuffer)
+    f.start()
+    toks = []
+    deadline = time.time() + timeout
+    appended = append is None
+    for item in f:
+        toks.extend(_ushort_tokens(item))
+        if not appended:
+            with open(p, "ab") as fh:
+                fh.write(append)
+            appended = True
+        if toks == want or len(toks) >= len(want) or time.time() > deadline:
+            f.stop()
+    return toks
+
+
+def test_ushort_follow_revisit_no_duplicate_tokens(tmp_path):
+    # ADVICE r2 (high): follow-mode revisits used to seek the TOKEN offset
+    # of a ushort stream (tokens <= text bytes), re-reading and re-parsing
+    # already-consumed text -> duplicate tokens. The raw read position
+    # (StreamState.text_off) is what must be seeked.
+    toks = _follow_ushort(
+        tmp_path, b"11,22,33,", b"44,55,", want=[11, 22, 33, 44, 55]
+    )
+    assert toks == [11, 22, 33, 44, 55]
+
+
+def test_ushort_follow_partial_number_spans_append(tmp_path):
+    # ADVICE r2 (medium): a number split by a writer pause ("12" ... "34,")
+    # must parse as ONE token once the append lands, not flush as 12 early
+    toks = _follow_ushort(tmp_path, b"7,12", b"34,9,", want=[7, 1234, 9])
+    assert toks == [7, 1234, 9]
+
+
+def test_ushort_follow_partial_number_flushed_at_shutdown(tmp_path):
+    # the held partial trailing number is NOT lost when the feeder stops:
+    # finalize_stream emits it as the final token
+    from tpu_pattern_matching.runtime.buffers import UshortBuffer
+
+    p = tmp_path / "flow.txt"
+    write(p, b"7,12")
+    f = Feeder([str(p)], n_workers=1, max_chunks=2, chunk_len=4, halo=0,
+               follow=True, buffer_factory=UshortBuffer)
+    f.start()
+    toks = []
+    for item in f:
+        toks.extend(_ushort_tokens(item))
+        if toks:  # first delivery: 7 arrived, "12" held -> stop now
+            f.stop()
+    assert toks == [7, 12]
+
+
 def test_feeder_error_propagates(tmp_path):
     # a worker failure must surface to the consumer loop, not end iteration
     # silently (the reference fails loud with ERRX; silence drops matches)

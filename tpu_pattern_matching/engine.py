@@ -30,9 +30,17 @@ def on_tpu() -> bool:
 
 
 def best_scan_total_fn(
-    table: DfaTable, max_chunks: int, chunk_len: int, engine: str = "auto"
+    table: DfaTable,
+    max_chunks: int,
+    chunk_len: int,
+    engine: str = "auto",
+    bloom_table=None,
 ) -> tuple[Callable, int]:
-    """(scan_total, halo): scan_total(data, start_t, end_t) -> int32 total."""
+    """(scan_total, halo): scan_total(data, start_t, end_t) -> int32 total.
+
+    ``bloom_table`` reuses a prebuilt filter — the chooser+insertion build
+    is tens of seconds at 100k patterns and benchmarks that also report the
+    config would otherwise pay it twice."""
     if engine == "auto":
         engine = "bloom" if on_tpu() else "dense"
     halo = pad_halo(table.max_pat_len - 1, chunk_len)
@@ -40,7 +48,11 @@ def best_scan_total_fn(
     if engine == "bloom":
         from tpu_pattern_matching.ops.bloom import BloomFilterTable
 
-        bft = BloomFilterTable.from_table(table)
+        bft = (
+            bloom_table
+            if bloom_table is not None
+            else BloomFilterTable.from_table(table)
+        )
         dev = bft.put()
 
         def scan_total(data, start_t, end_t):

@@ -68,6 +68,10 @@ class StreamState:
     tail: bytes = b""
     line_no: int = 0
     in_fragment: bool = False  # previous text line piece had no newline
+    # raw TEXT read position for token-parsing streams (UshortBuffer):
+    # ``offset`` advances in TOKEN units there, so follow-mode revisits must
+    # seek this field instead (-1 = byte stream; offset IS the position)
+    text_off: int = -1
 
 
 @dataclasses.dataclass
@@ -89,6 +93,8 @@ class HostBatch:
 
 class DataBuffer:
     dtype = np.uint8  # symbol width (UshortBuffer overrides)
+    follow = False  # set by the feeder in -F mode (token buffers hold a
+    # partial trailing number across quiescence instead of flushing it)
 
     def __init__(self, max_chunks: int, chunk_len: int, halo: int):
         if halo < 0 or chunk_len <= 0 or max_chunks <= 0:
@@ -303,6 +309,11 @@ class DataBuffer:
         self._push(chunk, stream)
         return -1 if self.chunks >= self.max_chunks else (self.max_chunks - self.chunks)
 
+    def finalize_stream(self, stream: StreamState) -> None:
+        """End-of-stream hook: byte buffers hold nothing back (no-op);
+        token buffers flush a held partial trailing number (see
+        UshortBuffer.finalize_stream)."""
+
     def to_batch(self) -> HostBatch:
         return HostBatch(
             data=self.data,
@@ -391,12 +402,31 @@ class UshortBuffer(DataBuffer):
             "flow files stream through add_stream"
         )
 
+    def finalize_stream(self, stream: StreamState) -> None:
+        """Flush the held partial trailing number (follow mode holds it
+        across quiescence — a number split by a writer pause must not be
+        emitted as two tokens; at true shutdown whatever digits exist ARE
+        the final token)."""
+        if not isinstance(stream.tail, np.ndarray):
+            return  # stream never produced tokens
+        if stream.text_rem:
+            toks, stream.text_rem = parse_token_stream(
+                b"", stream.text_rem, final=True, clamp=self.clamp
+            )
+            if len(toks):
+                stream.pending = np.concatenate([stream.pending, toks])
+        while len(stream.pending) and self.chunks < self.max_chunks:
+            take = stream.pending[: self.chunk_len]
+            stream.pending = stream.pending[self.chunk_len :]
+            self._push_tokens(take, stream)
+
     def add_stream(self, fobj: BinaryIO, stream: StreamState) -> tuple[int, int]:
         """Text-to-token ingest. Returns (code, raw_text_bytes_read)."""
         if not isinstance(stream.tail, np.ndarray):  # first visit: token mode
             stream.tail = np.zeros(0, np.uint16)
             stream.pending = np.zeros(0, np.uint16)
             stream.text_rem = b""
+            stream.text_off = 0  # raw read position (offset counts TOKENS)
         B = self.chunk_len
         rd = 0
         while self.chunks < self.max_chunks:
@@ -404,9 +434,19 @@ class UshortBuffer(DataBuffer):
             while len(stream.pending) < B and not quiescent:
                 raw = fobj.read(max(4096, B * 8))
                 rd += len(raw)
+                stream.text_off += len(raw)
+                # b"" is a true end of stream only for a seekable source
+                # outside follow mode; from a FIFO reader or a followed
+                # file it means "nothing available NOW" and more text may
+                # extend a trailing digit run — hold the partial number
+                # (finalize_stream flushes it at shutdown).
+                at_end = (
+                    raw == b""
+                    and not self.follow
+                    and getattr(fobj, "seekable", lambda: True)()
+                )
                 toks, stream.text_rem = parse_token_stream(
-                    raw, stream.text_rem, final=(raw == b""),
-                    clamp=self.clamp,
+                    raw, stream.text_rem, final=at_end, clamp=self.clamp
                 )
                 if len(toks):
                     stream.pending = np.concatenate([stream.pending, toks])

@@ -145,6 +145,8 @@ class Feeder:
 
     def _worker(self, wid: int) -> None:
         buf = self.buffer_factory(self.max_chunks, self.chunk_len, self.halo)
+        buf.follow = self.follow  # token buffers hold partial trailing
+        # numbers across follow-mode quiescence (flushed by finalize below)
         streams: dict[int, StreamState] = {}
         handles: dict[int, object] = {}
         pend_bytes = 0
@@ -177,8 +179,15 @@ class Feeder:
                     elif handles[cur].seekable():
                         # follow mode, regular file: pick up appended data
                         # from where this stream left off (FIFOs are not
-                        # seekable — their reader tracks position itself)
-                        handles[cur].seek(streams[cur].offset)
+                        # seekable — their reader tracks position itself).
+                        # Token streams advance ``offset`` in TOKEN units;
+                        # their raw read position is ``text_off`` (seeking
+                        # the token count would re-read and re-parse
+                        # already-consumed text -> duplicate tokens).
+                        st = streams[cur]
+                        handles[cur].seek(
+                            st.text_off if st.text_off >= 0 else st.offset
+                        )
                     fobj, stream = handles[cur], streams[cur]
                     while True:
                         if self.text_mode:
@@ -204,6 +213,13 @@ class Feeder:
                     # briefly to avoid a busy loop.
                     flush()
                     self.terminate.wait(0.05)
+            # shutdown: flush held parse state (a partial trailing number a
+            # token stream was holding for a possible later append) before
+            # the final batch leaves
+            for st in streams.values():
+                if buf.full:
+                    flush()
+                buf.finalize_stream(st)
             flush()
         except BaseException as e:  # fail loud (reference ERRX discipline)
             fname = (

@@ -9,7 +9,8 @@ can toggle it without reimporting:
   lifecycle, batch dispatch/decode summaries (the DPRINTF tier).
 - ``TPM_DEBUG=2`` — adds device-side values via :func:`kernel_debug`
   (``jax.debug.print`` inside jitted code) and per-round detail (the
-  DPRINTF2 tier).
+  DPRINTF2 tier). Device-side output is baked in at trace time: set the
+  variable before the first scan of a shape (see kernel_debug docstring).
 
 All output goes to stderr through the ``tpu_pattern_matching`` logger so
 embedders can redirect it with standard ``logging`` configuration.
@@ -54,7 +55,12 @@ def dprint(lvl: int, msg: str, *args) -> None:
 def kernel_debug(fmt: str, *vals) -> None:
     """Device-side debug hook: prints traced values from inside jitted or
     Pallas code when TPM_DEBUG >= 2 (compiles to a no-op otherwise — call
-    sites pay nothing in production traces)."""
+    sites pay nothing in production traces).
+
+    CAVEAT: unlike :func:`dprint`, this gate is evaluated at TRACE time and
+    baked into the compiled computation — jit caches mean toggling
+    TPM_DEBUG after a shape has already traced has no effect on that shape
+    (set the env var before the first scan to get device-side output)."""
     if level() >= 2:
         import jax
 

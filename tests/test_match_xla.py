@@ -160,6 +160,51 @@ def test_group_counts_device():
     assert gc.sum() == len(positions)
 
 
+def test_group_counts_exact_past_slot_overflow():
+    # VERDICT r2 item 4: per-group counts must stay exact when lanes
+    # overflow their R result slots (match-dense input, the config-5
+    # count-workload shape) — the in-scan gcounts count every report, not
+    # just the stored slots
+    rng = np.random.RandomState(3)
+    pats = list({bytes(rng.randint(0, 2, size=4).astype(np.uint8))
+                 for _ in range(6)})
+    data = bytes(rng.randint(0, 2, size=4096).astype(np.uint8))
+    sess = MatchSession(compile_patterns(pats), max_chunks=4,
+                        chunk_len=256, engine="dense", max_results=4)
+    buf = sess.new_buffer()
+    from tpu_pattern_matching.runtime.buffers import StreamState
+
+    stream = StreamState(file_id=0)
+    fobj = io.BytesIO(data)
+    want = np.zeros(sess.table.num_groups, np.int64)
+    positions = {}
+    for off, pid in match_python(pats, data):
+        positions.setdefault(off, set()).add(pid)
+    gid_of = {tuple(sorted(p)): g
+              for g, p in enumerate(sess.table.groups_as_lists())}
+    for pids in positions.values():
+        want[gid_of[tuple(sorted(pids))]] += 1
+    got = np.zeros_like(want)
+    total = 0
+    overflowed = False
+    while True:
+        code, rd = buf.add_stream(fobj, stream)
+        if buf.chunks and (code == -1 or rd == 0):
+            batch = buf.to_batch()
+            comp = sess.scan(batch)
+            meta = np.asarray(comp.meta)
+            overflowed |= meta[0] > meta[1]
+            t, g = sess.decode_counts(batch, comp)
+            total += t
+            got += g
+            buf.reset()
+        if rd == 0:
+            break
+    assert overflowed, "test must actually overflow the slots"
+    assert total == len(positions)
+    assert (got == want).all()
+
+
 def test_multi_file_ids():
     patterns = [b"zz"]
     table = compile_patterns(patterns)

@@ -42,10 +42,13 @@ class CompactMatches:
     latency-bound). ``pos`` is the match END offset within the lane's own
     span; absolute stream/file offsets are ``base_off[lane] + pos`` computed
     host-side in 64-bit (device arrays stay int32 — JAX default).
+    ``gcounts`` are the in-scan exact per-group counts (see
+    ScanResult.gcounts) — exact even when result slots overflow.
     """
 
     meta: jax.Array  # [2] int32: total, reported
     packed: jax.Array  # [5, K] int32: lane, pos, state, gid, rep_pid
+    gcounts: jax.Array | None = None  # [G] int32
 
     @property
     def total(self) -> jax.Array:
@@ -154,7 +157,7 @@ def sort_matches(m: CompactMatches, chunk_len: int) -> CompactMatches:
 @functools.partial(
     jax.jit,
     static_argnames=("alphabet_size", "halo", "max_results", "capacity",
-                     "sort", "chunk_len"),
+                     "sort", "chunk_len", "num_groups"),
 )
 def _scan_compact_jit(
     table_flat,
@@ -169,6 +172,7 @@ def _scan_compact_jit(
     capacity,
     sort,
     chunk_len,
+    num_groups,
 ):
     from tpu_pattern_matching.ops.match_xla import _scan_kernel
 
@@ -181,6 +185,8 @@ def _scan_compact_jit(
         alphabet_size=alphabet_size,
         halo=halo,
         max_results=max_results,
+        state_gid=state_gid,
+        num_groups=num_groups,
     )
     meta, packed = _compact_jit(
         res.counts,
@@ -192,7 +198,7 @@ def _scan_compact_jit(
     )
     if sort:
         packed = _sort_jit(meta, packed, chunk_len=chunk_len)
-    return meta, packed
+    return meta, packed, res.gcounts
 
 
 def scan_and_compact(
@@ -216,7 +222,7 @@ def scan_and_compact(
     C = data.shape[0]
     if capacity is None:
         capacity = min(C * max_results, 8192)
-    meta, packed = _scan_compact_jit(
+    meta, packed, gcounts = _scan_compact_jit(
         table.table_flat,
         table.state_gid,
         table.group_rep,
@@ -228,17 +234,23 @@ def scan_and_compact(
         capacity=capacity,
         sort=sort,
         chunk_len=chunk_len,
+        num_groups=table.num_groups,
     )
-    return CompactMatches(meta=meta, packed=packed)
+    return CompactMatches(meta=meta, packed=packed, gcounts=gcounts)
 
 
 def per_group_counts(table: DeviceTable, m: CompactMatches) -> jax.Array:
     """Per-match-group event counts [G] (device-side, psum-able).
 
-    Exact when no lane overflowed its result slots; the sentiment/count
-    workload (BASELINE config 5) reduces this across the mesh with psum and
-    expands groups to per-pattern scores host-side.
+    Prefers the in-scan ``m.gcounts`` (exact regardless of slot overflow);
+    the slot-derived reduction below is the fallback for CompactMatches
+    built without them and is exact only when no lane overflowed its R
+    result slots. The sentiment/count workload (BASELINE config 5) reduces
+    this across the mesh with psum and expands groups to per-pattern
+    scores host-side.
     """
+    if m.gcounts is not None:
+        return m.gcounts
 
     @jax.jit
     def _f(gid, reported):

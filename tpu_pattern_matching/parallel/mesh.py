@@ -124,6 +124,10 @@ def make_sharded_scan_step(
         static_argnames=(),
     )
     def step(table_flat, state_gid, data, start_t, end_t):
+        # gcounts accumulate INSIDE the scan from every report (exact even
+        # when lanes overflow their R result slots — the slot-derived
+        # reduction silently undercounted exactly on match-dense input,
+        # VERDICT r2 weak 3), then reduce across the mesh by XLA
         res = _scan_kernel(
             table_flat,
             jax.lax.optimization_barrier(data.T),
@@ -132,22 +136,10 @@ def make_sharded_scan_step(
             alphabet_size=table.alphabet_size,
             halo=halo,
             max_results=max_results,
+            state_gid=state_gid,
+            num_groups=num_groups,
         )
-        # per-group counts: exact totals per final state group, reduced
-        # across the whole mesh by XLA (scatter-add over replicated output)
-        gid = jnp.where(
-            res.slot_state > 0,
-            jnp.take(state_gid, res.slot_state, mode="clip"),
-            -1,
-        )
-        r_iota = jax.lax.broadcasted_iota(jnp.int32, res.slot_state.shape, 1)
-        live = (r_iota < res.counts[:, None]) & (gid >= 0)
-        gcounts = (
-            jnp.zeros((num_groups,), jnp.int32)
-            .at[jnp.where(live, gid, num_groups)]
-            .add(live.astype(jnp.int32), mode="drop")
-        )
-        return res.counts, res.slot_state, res.slot_pos, gcounts
+        return res.counts, res.slot_state, res.slot_pos, res.gcounts
 
     return step
 

@@ -117,6 +117,78 @@ def test_save_load_roundtrip(tmp_path):
     assert [p.iid for p in loaded.patterns] == [p.iid for p in table.patterns]
 
 
+def test_save_load_is_pickle_free(tmp_path):
+    # VERDICT r2 item 6: --load-dfa is a shipped feature, so loading an
+    # untrusted dump must not be able to execute code. The saved archive
+    # must contain no pickled object arrays, labels/symbols must survive
+    # the flat layout, and legacy pickled dumps must be refused by default.
+    import zipfile
+
+    import pytest
+
+    ac = AhoCorasick()
+    ac.add_pattern(b"he", iid=42, label="h\xe9 label")  # non-ascii label
+    ac.add_pattern(b"\x00\xffbin", iid=-3)
+    table = ac.compile()
+    path = str(tmp_path / "dfa.npz")
+    table.save(path)
+    # every member of the archive must load with allow_pickle=False
+    z = np.load(path, allow_pickle=False)
+    _ = [z[k] for k in z.files]
+    loaded = DfaTable.load(path)
+    assert [(p.symbols, p.iid, p.label) for p in loaded.patterns] == [
+        (p.symbols, p.iid, p.label) for p in table.patterns
+    ]
+    # a legacy (object-array) dump is refused without the explicit opt-in
+    legacy = str(tmp_path / "legacy.npz")
+    np.savez(
+        legacy,
+        goto_signed=table.goto_signed,
+        state_gid=table.state_gid,
+        group_state=table.group_state,
+        group_offsets=table.group_offsets,
+        group_pids=table.group_pids,
+        group_rep=table.group_rep,
+        alphabet_size=np.int64(256),
+        max_pat_len=np.int64(table.max_pat_len),
+        nocase=np.bool_(False),
+        pat_symbols=np.array([p.symbols for p in table.patterns], object),
+        pat_iids=np.array([p.iid for p in table.patterns], np.int64),
+        pat_labels=np.array([p.label for p in table.patterns], object),
+    )
+    with pytest.raises(ValueError, match="legacy"):
+        DfaTable.load(legacy)
+    old = DfaTable.load(legacy, legacy_pickle=True)
+    assert [p.symbols for p in old.patterns] == [
+        p.symbols for p in table.patterns
+    ]
+    # junk archives are refused, not misparsed
+    junk = str(tmp_path / "junk.npz")
+    np.savez(junk, whatever=np.zeros(3))
+    with pytest.raises(ValueError, match="not a DfaTable"):
+        DfaTable.load(junk)
+    with zipfile.ZipFile(path) as zf:  # belt & braces: no pickle opcodes
+        for name in zf.namelist():
+            assert not zf.read(name).startswith(b"\x93NUMPY\x01\x00v\x00{'descr': '|O"), name
+
+
+def test_save_load_roundtrip_large(tmp_path):
+    # flat-layout roundtrip at scale (5k patterns keeps the suite fast; the
+    # 100k/300k points run in benchmarks/bench_scale.py)
+    rng = np.random.RandomState(9)
+    pats = [bytes(rng.randint(0, 256, size=rng.randint(4, 16)).astype(np.uint8))
+            for _ in range(5000)]
+    table = compile_patterns(pats)
+    path = str(tmp_path / "big.npz")
+    table.save(path)
+    loaded = DfaTable.load(path)
+    assert loaded.num_states == table.num_states
+    assert len(loaded.patterns) == len(table.patterns)
+    assert loaded.patterns[4999].symbols == table.patterns[4999].symbols
+    data = b"junk" + pats[17] + b"junk" + pats[4321]
+    assert table_scan(loaded, data) == table_scan(table, data)
+
+
 def test_group_semantics():
     # "hers" ends where "hers" matches; at offset of 's' both hers and... check
     # co-termination: "she" and "he" both end at the same position in "she".

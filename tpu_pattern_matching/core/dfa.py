@@ -111,8 +111,21 @@ class DfaTable:
         ]
 
     # -- serialization (restores the feature removed at acsmx.h:29-30) ------
+    #
+    # Pattern metadata is stored as concatenated flat arrays + offsets (the
+    # same layout the native oracle_create ABI takes) — NO object arrays,
+    # NO pickle. A precompiled automaton is a shipped, loadable artifact
+    # (--load-dfa), and unpickling an untrusted file is arbitrary code
+    # execution; flat arrays also load faster.
 
     def save(self, path: str) -> None:
+        syms = [np.asarray(p.symbols, np.int32) for p in self.patterns]
+        lens = np.asarray([len(s) for s in syms], np.int64)
+        sym_offsets = np.zeros(len(syms) + 1, np.int64)
+        np.cumsum(lens, out=sym_offsets[1:])
+        labels = [p.label.encode("utf-8") for p in self.patterns]
+        lab_offsets = np.zeros(len(labels) + 1, np.int64)
+        np.cumsum([len(b) for b in labels], out=lab_offsets[1:])
         np.savez_compressed(
             path,
             goto_signed=self.goto_signed,
@@ -124,21 +137,54 @@ class DfaTable:
             alphabet_size=np.int64(self.alphabet_size),
             max_pat_len=np.int64(self.max_pat_len),
             nocase=np.bool_(self.nocase),
-            pat_symbols=np.array([p.symbols for p in self.patterns], dtype=object),
-            pat_iids=np.array([p.iid for p in self.patterns], dtype=np.int64),
-            pat_labels=np.array([p.label for p in self.patterns], dtype=object),
-            allow_pickle=True,
+            pat_sym_flat=(
+                np.concatenate(syms) if syms else np.zeros(0, np.int32)
+            ),
+            pat_sym_offsets=sym_offsets,
+            pat_iids=np.asarray([p.iid for p in self.patterns], np.int64),
+            pat_label_blob=np.frombuffer(b"".join(labels), np.uint8).copy(),
+            pat_label_offsets=lab_offsets,
         )
 
     @staticmethod
-    def load(path: str) -> "DfaTable":
-        z = np.load(path, allow_pickle=True)
-        patterns = [
-            Pattern(tuple(sym), int(iid), i, str(label))
-            for i, (sym, iid, label) in enumerate(
-                zip(z["pat_symbols"], z["pat_iids"], z["pat_labels"])
-            )
-        ]
+    def load(path: str, legacy_pickle: bool = False) -> "DfaTable":
+        """Load a saved table. Loading never unpickles: files from the
+        flat format load directly; files from the pre-round-3 object-array
+        format require ``legacy_pickle=True`` (only pass it for files YOU
+        created — unpickling an untrusted file executes arbitrary code)."""
+        z = np.load(path, allow_pickle=False)
+        if "pat_sym_flat" in z.files:
+            so = z["pat_sym_offsets"]
+            sf = z["pat_sym_flat"]
+            lo = z["pat_label_offsets"]
+            lb = z["pat_label_blob"].tobytes()
+            iids = z["pat_iids"]
+            patterns = [
+                Pattern(
+                    tuple(int(x) for x in sf[so[i] : so[i + 1]]),
+                    int(iids[i]),
+                    i,
+                    lb[lo[i] : lo[i + 1]].decode("utf-8"),
+                )
+                for i in range(len(iids))
+            ]
+        elif "pat_symbols" in z.files:
+            if not legacy_pickle:
+                raise ValueError(
+                    f"'{path}' is a legacy pickled DfaTable dump; pass "
+                    f"legacy_pickle=True ONLY if you trust its origin "
+                    f"(unpickling executes arbitrary code), or re-save it "
+                    f"with the current format"
+                )
+            z = np.load(path, allow_pickle=True)
+            patterns = [
+                Pattern(tuple(sym), int(iid), i, str(label))
+                for i, (sym, iid, label) in enumerate(
+                    zip(z["pat_symbols"], z["pat_iids"], z["pat_labels"])
+                )
+            ]
+        else:
+            raise ValueError(f"'{path}' is not a DfaTable dump")
         return DfaTable(
             goto_signed=z["goto_signed"],
             state_gid=z["state_gid"],
@@ -149,7 +195,7 @@ class DfaTable:
             alphabet_size=int(z["alphabet_size"]),
             max_pat_len=int(z["max_pat_len"]),
             patterns=patterns,
-            nocase=bool(z["nocase"]) if "nocase" in z else False,
+            nocase=bool(z["nocase"]) if "nocase" in z.files else False,
         )
 
 

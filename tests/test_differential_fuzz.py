@@ -62,6 +62,11 @@ def test_differential(case):
         engine="dense",
     ).find(data)
     assert got_d == want, f"dense diverged on case {seed}"
+    got_v = MatchSession(
+        table, max_chunks=chunks, chunk_len=clen, engine="bloom",
+        verify="device",
+    ).find(data)
+    assert got_v == want, f"bloom+device-verify diverged on case {seed}"
 
 
 def test_differential_random_geometries():

@@ -95,6 +95,14 @@ def build_argparser() -> argparse.ArgumentParser:
         "(Pallas q-gram filter + exact host verify — the TPU hot path), "
         "dense (XLA signed-table DFA walk, exact on device)",
     )
+    ap.add_argument(
+        "--verify",
+        choices=("auto", "host", "device"),
+        default="auto",
+        help="bloom engine exactness stage: host (native CPU window "
+        "walker), device (candidate windows walk the dense table ON "
+        "device — zero host CPU in the verify loop), auto (host)",
+    )
     ap.add_argument("--save-dfa", dest="save_dfa")
     ap.add_argument("--load-dfa", dest="load_dfa")
     ap.add_argument(
@@ -257,14 +265,23 @@ def main(argv: list[str] | None = None) -> int:
         max_results=args.max_results,
         sort=args.sort,
         engine=args.engine,
+        verify=args.verify,
         mesh=mesh,
         # -D selects the pos-th device (the reference's clinitctx device
         # walk, ocl_context.c:18-85); a mesh supersedes single-device pinning
         device=None if mesh is not None else args.dev_pos,
         bloom_table=bloom_table,
     )
-    if args.save_bloom and sess.engine == "bloom":
-        sess.bloom_table.save(args.save_bloom)
+    if args.save_bloom:
+        if sess.engine == "bloom":
+            sess.bloom_table.save(args.save_bloom)
+        else:
+            print(
+                f"WARNING: --save-bloom ignored: the session resolved to "
+                f"the '{sess.engine}' engine (no filter was built); pass "
+                f"--engine bloom to force one",
+                file=sys.stderr,
+            )
 
     feeder = Feeder(
         filenames,

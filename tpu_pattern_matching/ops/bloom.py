@@ -826,10 +826,17 @@ class BloomHits:
     ``total`` (meta[0]) is the exact survivor count; ``bits[w, c]`` bit b is
     the gram starting at row (w*32+b)*stride of lane c. The bitmap is
     complete — no capacity cap, no overflow mode; the host fetches it only
-    when total > 0 (two transfers per batch, like the dense engine)."""
+    when total > 0 (two transfers per batch, like the dense engine).
+
+    ``data``/``bounds`` are the device-resident batch arrays the probe
+    scanned, kept so a device-side verify stage (ops/verify_device.py) can
+    walk candidate windows without re-uploading; None on the host-verify
+    path."""
 
     meta: jax.Array  # [1] int32: total
     bits: jax.Array  # [W, C] int32
+    data: jax.Array | None = None  # [C, T] symbols (device)
+    bounds: jax.Array | None = None  # [2, C] (device)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "interpret"))

@@ -1,0 +1,351 @@
+"""Device-side exact verify for the bloom engine.
+
+The bloom engine's flagship probe (ops/bloom.py) emits candidate grams; the
+exactness stage traditionally ran on the host CPU (runtime/verify.py + the
+native walker). That works on one chip with spare cores, but at the measured
+~1e-3 candidates/byte and ~8 GB/s/chip the host needs ~2 cores per chip and
+becomes THE scaling wall on a mesh — and per-group counts (the psum workload,
+BASELINE config 5) had to round-trip through host Python.
+
+This module verifies ON DEVICE, giving the bloom engine the one capability
+the reference's hot kernel had over it: exact ``(pattern_set, offset)``
+emission from the device (ahomatch.cl:63-74 records pattern id + absolute
+end offset in the scan kernel itself). Pipeline (one jit):
+
+1. **Candidate compaction** — two-stage cumsum+scatter over the survivor
+   bitmap: nonzero WORDS compact first (a word has >= 1 candidate, so the
+   candidate capacity bounds the word capacity too), then their bits expand
+   and compact to ``(lane, row)`` pairs sorted by (lane, row).
+2. **Windowed DFA walk** — each candidate's window
+   ``[row - (lmax-q), row + lmax)`` is walked from the root state with the
+   dense signed table (the ops/match_xla encoding): a lax.scan over window
+   steps, each step one vectorized gather across all candidate windows.
+   The table rides the XLA serialized-gather rate (~5-13 ns/element,
+   BENCH_NOTES), but only over candidate windows — at rate r candidates per
+   byte the walk touches ~r * (2*lmax - q) of the input.
+3. **Exact dedupe by attribution** — match end ``e`` is reported by
+   candidate ``i`` iff ``r_i <= e - q + 1 < r_next`` (the next candidate in
+   the same lane). Every true match contains >= 1 candidate gram inside its
+   span (the coverage guarantee, MATCHING.md), so exactly one candidate owns
+   each match end; and since ``e >= r_i + q - 1`` implies every pattern
+   ending at e starts inside candidate i's window, the walked state's match
+   group at e is complete. No cross-window merging, no duplicates — the
+   device analogue of the host verifier's window merge (verify.py).
+4. **Outputs** — compacted (lane, end_row, state) event tuples (fixed
+   capacity + exact totals) and per-group counts [G] for the psum workload,
+   all device-resident.
+
+Capacities are BUCKETED: the caller fetches the probe's exact survivor
+total first (one 4-byte transfer, already part of the decode protocol) and
+dispatches with the next power-of-two capacity, so candidate overflow
+cannot happen below the cap and compile count stays log2-bounded. Event
+overflow is detected exactly (meta) and retried with the exact needed
+capacity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+INT32_MAX = np.iinfo(np.int32).max
+
+
+def next_pow2(n: int, lo: int = 256) -> int:
+    k = lo
+    while k < n:
+        k *= 2
+    return k
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class DeviceVerifyResult:
+    """Device-resident exact events of one batch.
+
+    ``meta = [n_events, reported, n_cand, flags]``; flags bit0 = candidate
+    capacity overflow (results incomplete — impossible when the capacity
+    bucket was chosen from the probe total), bit1 = event capacity overflow
+    (``packed`` truncated; ``gcounts`` and n_events stay EXACT — they
+    accumulate from every report, not from the stored slots).
+    ``packed[3, K]`` = (lane, end_row, state) sorted by (lane, end_row).
+    """
+
+    meta: jax.Array  # [4] int32
+    packed: jax.Array  # [3, K] int32
+    gcounts: jax.Array  # [G] int32
+
+
+def _compact_flags(flags_flat, values, capacity):
+    """cumsum+scatter stream compaction: the positions of set ``flags_flat``
+    keep their relative order; each ``values`` array scatters to the
+    compacted slot. Returns (n_set, [compacted arrays], overflowed)."""
+    f = flags_flat.astype(jnp.int32)
+    pos = jnp.cumsum(f) - f
+    n = jnp.sum(f)
+    dst = jnp.where((f > 0) & (pos < capacity), pos, capacity)
+    outs = [
+        jnp.full((capacity,), fill, dtype=v.dtype)
+        .at[dst]
+        .set(v, mode="drop")
+        for v, fill in values
+    ]
+    return n, outs, n > capacity
+
+
+def _verify_kernel(
+    table_flat,
+    state_gid,
+    data,  # [C, T] symbols (the SAME device array the probe scanned)
+    bounds,  # [2, C] start_t / end_t
+    bits,  # [W, C] survivor bitmap from the probe
+    *,
+    alphabet_size: int,
+    stride: int,
+    q: int,
+    lmax: int,
+    halo: int,
+    k_cand: int,
+    k_ev: int,
+    num_groups: int,
+):
+    C, T = data.shape
+    W, Cb = bits.shape  # Cb >= C: the probe pads lanes to a 128 multiple
+    G = num_groups      # (padded lanes have start==end: no candidates)
+
+    # ---- stage 1: nonzero words (lane-major so candidates sort by lane) --
+    wordsT = bits.T  # [Cb, W]
+    n_words, (widx, wval), _w_over = _compact_flags(
+        (wordsT != 0).reshape(-1),
+        [
+            (
+                jax.lax.broadcasted_iota(
+                    jnp.int32, (Cb * W, 1), 0
+                ).squeeze(-1),
+                jnp.int32(Cb * W),
+            ),
+            (wordsT.reshape(-1), jnp.int32(0)),
+        ],
+        k_cand,  # a nonzero word holds >= 1 candidate: k_cand bounds words
+    )
+
+    # ---- stage 2: bits -> (lane, row) candidates --------------------------
+    bit_iota = jax.lax.broadcasted_iota(jnp.int32, (k_cand, 32), 1)
+    has_bit = (
+        jax.lax.shift_right_logical(wval[:, None], bit_iota) & 1
+    ) > 0  # [k_cand, 32]; padded slots have wval == 0 -> no bits
+    lane_w = widx // W  # [k_cand] (sentinel slots -> lane Cb: inert)
+    row_w = (widx % W) * 32
+    rows32 = (row_w[:, None] + bit_iota) * stride
+    lanes32 = jnp.broadcast_to(lane_w[:, None], (k_cand, 32))
+    n_cand, (lane, row), cand_over = _compact_flags(
+        has_bit.reshape(-1),
+        [
+            (lanes32.reshape(-1), jnp.int32(Cb)),  # sentinel lane Cb
+            (rows32.reshape(-1), jnp.int32(INT32_MAX)),
+        ],
+        k_cand,
+    )
+    slot = jax.lax.broadcasted_iota(jnp.int32, (k_cand, 1), 0).squeeze(-1)
+    cand_valid = slot < n_cand
+
+    # next candidate row in the same lane closes each keep interval
+    # (candidates are (lane, row)-sorted: stage-1 order is lane-major, and
+    # bits within a word ascend)
+    rnext = jnp.where(
+        (lane[1:] == lane[:-1]),
+        row[1:],
+        jnp.int32(INT32_MAX),
+    )
+    rnext = jnp.concatenate([rnext, jnp.full((1,), INT32_MAX, jnp.int32)])
+
+    # ---- stage 3: windowed walk -------------------------------------------
+    pad_l = lmax - q
+    WL = 2 * lmax - q
+    WLp = -(-WL // 4) * 4  # unroll blocks of 4 (amortized scan bookkeeping)
+    lane_c = jnp.minimum(lane, C - 1)
+    st_c = jnp.where(cand_valid, bounds[0][lane_c], 0)
+    en_c = jnp.where(cand_valid, bounds[1][lane_c], 0)
+    w0 = row - pad_l
+    base = lane_c * T + w0
+    data_flat = data.reshape(-1)
+    keep_lo = jnp.maximum(row + q - 1, halo)
+    # e - q + 1 < rnext  <=>  e < rnext + q - 1 (rnext may be INT32_MAX:
+    # clamp the sum in int64-free fashion by bounding with window end)
+    keep_hi = jnp.minimum(
+        jnp.where(
+            rnext >= INT32_MAX - q, jnp.int32(INT32_MAX), rnext + q - 1
+        ),
+        en_c,
+    )
+
+    def step(state, t):
+        pos = w0 + t
+        sym = jnp.take(
+            data_flat, jnp.clip(base + t, 0, C * T - 1), mode="clip"
+        ).astype(jnp.int32)
+        raw = jnp.take(
+            table_flat, state * alphabet_size + sym, mode="clip"
+        ).astype(jnp.int32)
+        valid = (pos >= st_c) & (pos < en_c)
+        nxt = jnp.where(valid, jnp.abs(raw), state)
+        rep = (raw < 0) & valid & (pos >= keep_lo) & (pos < keep_hi)
+        return nxt, rep
+
+    def body(state, t0):
+        reps = []
+        sts = []
+        for k in range(4):
+            state, rep = step(state, t0 + k)
+            reps.append(rep)
+            sts.append(state)
+        return state, (jnp.stack(reps), jnp.stack(sts))
+
+    ts0 = (
+        jax.lax.broadcasted_iota(jnp.int32, (WLp // 4, 1), 0).squeeze(-1) * 4
+    )
+    _, (rep_all, st_all) = jax.lax.scan(
+        body, jnp.zeros((k_cand,), jnp.int32), ts0
+    )
+    rep_all = rep_all.reshape(WLp, k_cand)  # [t, cand]
+    st_all = st_all.reshape(WLp, k_cand)
+
+    # ---- stage 4: event compaction ((cand, t) order == (lane, end) order:
+    # per-candidate keep intervals are disjoint and ascend within a lane) --
+    rep_cm = rep_all.T.reshape(-1)  # [k_cand * WLp]
+    st_cm = st_all.T.reshape(-1)
+    t_of = jnp.broadcast_to(
+        jax.lax.broadcasted_iota(jnp.int32, (1, WLp), 1), (k_cand, WLp)
+    ).reshape(-1)
+    e_cm = (w0[:, None] + jnp.zeros((1, WLp), jnp.int32)).reshape(-1) + t_of
+    lane_cm = jnp.broadcast_to(lane[:, None], (k_cand, WLp)).reshape(-1)
+    n_ev, (ev_lane, ev_end, ev_state), ev_over = _compact_flags(
+        rep_cm,
+        [
+            (lane_cm, jnp.int32(-1)),
+            (e_cm, jnp.int32(-1)),
+            (st_cm, jnp.int32(0)),
+        ],
+        k_ev,
+    )
+
+    # ---- stage 5: per-group counts (psum-able; EXACT past k_ev: counted
+    # from the report stream, not the stored slots) -------------------------
+    gid_cm = jnp.take(state_gid, st_cm, mode="clip")
+    gidx = jnp.where(rep_cm, gid_cm, G)
+    gcounts = (
+        jnp.zeros((G,), jnp.int32)
+        .at[gidx]
+        .add(rep_cm.astype(jnp.int32), mode="drop")
+    )
+
+    reported = jnp.minimum(n_ev, k_ev)
+    flags = cand_over.astype(jnp.int32) | (
+        ev_over.astype(jnp.int32) << 1
+    )
+    meta = jnp.stack(
+        [n_ev, reported, jnp.minimum(n_cand, INT32_MAX), flags]
+    ).astype(jnp.int32)
+    packed = jnp.stack([ev_lane, ev_end, ev_state])
+    return meta, packed, gcounts
+
+
+_verify_jit = jax.jit(
+    _verify_kernel,
+    static_argnames=(
+        "alphabet_size",
+        "stride",
+        "q",
+        "lmax",
+        "halo",
+        "k_cand",
+        "k_ev",
+        "num_groups",
+    ),
+)
+
+
+MAX_DEVICE_CAND = 1 << 17  # past this, host verify is the better tool
+# (match-saturated input: the host walker's merged windows collapse the
+# work; the device path would walk k_cand * WL with no merging)
+
+
+class DeviceVerifier:
+    """Session-side wrapper: ships the dense table once, buckets capacities.
+
+    ``verify(data, bounds, bits, total)`` dispatches with the next
+    power-of-two candidate capacity >= the probe's exact survivor total
+    (so candidate overflow cannot happen) and retries event capacity on
+    the exact overflow count reported back. Returns host numpy
+    (meta, packed, gcounts) — exactly two D2H transfers in the common case.
+    """
+
+    def __init__(self, table, cfg, halo: int, sharding=None):
+        put = (
+            (lambda x: jax.device_put(x, sharding))
+            if sharding is not None
+            else jax.device_put
+        )
+        self.table_flat = put(
+            np.ascontiguousarray(table.goto_signed).reshape(-1)
+        )
+        self.state_gid = put(table.state_gid.astype(np.int32))
+        self.alphabet_size = table.alphabet_size
+        self.lmax = table.max_pat_len
+        self.num_groups = table.num_groups
+        self.stride = cfg.stride
+        self.q = cfg.q
+        self.halo = halo
+
+    def _dispatch(self, data, bounds, bits, k_cand: int, k_ev: int):
+        return _verify_jit(
+            self.table_flat,
+            self.state_gid,
+            data,
+            bounds,
+            bits,
+            alphabet_size=self.alphabet_size,
+            stride=self.stride,
+            q=self.q,
+            lmax=self.lmax,
+            halo=self.halo,
+            k_cand=k_cand,
+            k_ev=k_ev,
+            num_groups=self.num_groups,
+        )
+
+    def verify(
+        self, data, bounds, bits, total: int
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(meta, packed[:, :reported], gcounts) as host arrays; raises
+        RuntimeError when ``total`` exceeds the device-verify cap (the
+        caller falls back to host verify — loud, never silent loss)."""
+        if total > MAX_DEVICE_CAND:
+            raise RuntimeError(
+                f"{total} candidates exceed the device-verify cap "
+                f"{MAX_DEVICE_CAND}; use host verify for this batch"
+            )
+        k_cand = next_pow2(total)
+        k_ev = k_cand
+        meta_d, packed_d, gc_d = self._dispatch(
+            data, bounds, bits, k_cand, k_ev
+        )
+        meta = np.asarray(meta_d)
+        if meta[3] & 2:  # event overflow: retry with the exact need
+            k_ev = next_pow2(int(meta[0]))
+            meta_d, packed_d, gc_d = self._dispatch(
+                data, bounds, bits, k_cand, k_ev
+            )
+            meta = np.asarray(meta_d)
+        if meta[3] & 1:
+            raise RuntimeError(
+                "device verify candidate overflow with a bucketed "
+                "capacity — probe total and bitmap disagree (bug)"
+            )
+        reported = int(meta[1])
+        packed = np.asarray(packed_d)[:, :reported]
+        return meta, packed, np.asarray(gc_d)

@@ -67,6 +67,7 @@ class MatchSession:
         mesh=None,
         device=None,
         bloom_table=None,
+        verify: str = "auto",
     ):
         """``engine`` selects the device scan:
 
@@ -88,6 +89,21 @@ class MatchSession:
         "all". ``device`` selects a single device by index or handle (the
         reference's ``-D devpos``, ocl_context.c:18-85); mutually
         exclusive with ``mesh``.
+
+        ``verify`` picks the bloom engine's exactness stage (ignored by the
+        dense engine, which is exact on device already):
+
+        - "host" — native C++ window walker on the host CPU
+          (runtime/verify.py). Fastest single-chip when host cores are
+          spare; the host becomes the scaling wall on big meshes.
+        - "device" — candidate windows compact and walk the dense table ON
+          DEVICE (ops/verify_device.py): exact (lane, end, state) events
+          and per-group counts with zero host CPU in the verify loop — the
+          capability ahomatch.cl:63-74 has in-kernel. Falls back to host
+          verify loudly past MAX_DEVICE_CAND candidates per batch
+          (match-saturated input is the host walker's regime).
+        - "auto" (default) — host (the measured single-chip winner; see
+          BENCH_NOTES round 3).
         """
         from tpu_pattern_matching.utils.common import pad_halo, roundup
 
@@ -101,7 +117,13 @@ class MatchSession:
             )
         if engine not in ("dense", "bloom"):
             raise ValueError(f"unknown engine {engine!r}")
+        if verify not in ("auto", "host", "device"):
+            raise ValueError(f"unknown verify mode {verify!r}")
         self.engine = engine
+        self.verify_mode = (
+            "host" if verify == "auto" else verify
+        ) if engine == "bloom" else "n/a"
+        self._dvf = None
         self.table = table
         self._bloom = None
         self._verifier = None
@@ -177,6 +199,21 @@ class MatchSession:
         base_halo = (table.max_pat_len - 1) if halo is None else halo
         # pad so the scan engine's 8-wide unroll divides the tile length
         self.halo = pad_halo(base_halo, chunk_len)
+        if self.verify_mode == "device":
+            if self._mesh_ctx is not None:
+                raise ValueError(
+                    "verify='device' with mesh=: use "
+                    "parallel.mesh.make_sharded_bloom_count_step for the "
+                    "all-device psum count path; event decode on meshes "
+                    "verifies host-side per lane shard"
+                )
+            from tpu_pattern_matching.ops.verify_device import (
+                DeviceVerifier,
+            )
+
+            self._dvf = DeviceVerifier(
+                table, self.bloom_table.cfg, self.halo, sharding
+            )
         self.max_chunks = max_chunks
         self.chunk_len = chunk_len
         self.max_results = max_results
@@ -230,6 +267,18 @@ class MatchSession:
             total, bits = self._bloom_step(self._bloom.words, data, bounds)
             return BloomHits(meta=total, bits=bits)
         if self._bloom is not None:
+            if self._dvf is not None:
+                # commit the batch to the device ONCE so the verify stage
+                # walks the same arrays the probe scanned (no re-upload)
+                import jax
+                from tpu_pattern_matching.ops.bloom import BloomHits
+
+                data = jax.device_put(data, self.device)
+                bounds = jax.device_put(bounds, self.device)
+                h = self._bloom.hits(data, bounds)
+                return BloomHits(
+                    meta=h.meta, bits=h.bits, data=data, bounds=bounds
+                )
             return self._bloom.hits(data, bounds)
         return scan_and_compact(
             self.dev,
@@ -316,16 +365,69 @@ class MatchSession:
             return z, z
         return np.concatenate(rows_parts), np.concatenate(lane_parts)
 
-    def _decode_bloom(self, batch: HostBatch, comp) -> BatchMatches:
-        """Verify device candidates exactly on the host (runtime/verify.py).
+    def _events_from_arrays(
+        self, batch: HostBatch, ln_a, e_a, gid_a
+    ) -> list[MatchEvent]:
+        """Materialize MatchEvents from verified (lane, end, gid) arrays
+        (shared by the host native-walker and device-verify paths)."""
+        if self.sort and len(ln_a):
+            order = np.lexsort((e_a, ln_a))
+            ln_a, e_a, gid_a = ln_a[order], e_a[order], gid_a[order]
+        file_ids = batch.file_ids
+        base_off = batch.base_off
+        halo = batch.halo
+        groups = self._groups
+        events = []
+        for ln, e, g in zip(ln_a.tolist(), e_a.tolist(), gid_a.tolist()):
+            pids = groups[g]
+            events.append(
+                MatchEvent(
+                    file_id=int(file_ids[ln]),
+                    end_offset=int(base_off[ln]) + e - halo,
+                    pattern_indices=pids,
+                    rep_index=pids[0],
+                    lane=ln,
+                    gid=g,
+                )
+            )
+        return events
 
-        Two transfers max: the popcount total (4 bytes), then the complete
-        survivor bitmap only when total > 0 — there is no capacity cap.
+    def _device_verify(self, comp, total: int):
+        """Run the device verify stage; (meta, packed, gcounts) host arrays
+        or None when this batch exceeds the device cap (host fallback)."""
+        try:
+            return self._dvf.verify(comp.data, comp.bounds, comp.bits, total)
+        except RuntimeError as e:
+            from tpu_pattern_matching.utils.debug import dprint
+
+            dprint(1, "device verify fell back to host: %s", e)
+            return None
+
+    def _decode_bloom(self, batch: HostBatch, comp) -> BatchMatches:
+        """Verify device candidates exactly (host verifier or the device
+        verify stage, per ``verify_mode``).
+
+        Two transfers max on either path: the popcount total (4 bytes),
+        then the survivor bitmap (host verify) or the packed event block
+        (device verify) only when total > 0 — there is no capacity cap.
         Event materialization is array-driven on the native-walker path:
         one verified (lane, end, state) row per event, group id via one
         state_gid gather (the per-event dict/set/sort grouping was the
         decode bottleneck on match-dense input, BENCH_NOTES.md round 2)."""
         total = int(np.asarray(comp.meta)[0])
+        if total and self._dvf is not None and comp.data is not None:
+            out = self._device_verify(comp, total)
+            if out is not None:
+                meta, packed, _gc = out
+                ln_a, e_a, st_a = packed
+                gid_a = self.table.state_gid[st_a]
+                events = self._events_from_arrays(batch, ln_a, e_a, gid_a)
+                return BatchMatches(
+                    events=events,
+                    total=int(meta[0]),
+                    reported=len(events),
+                    overflowed=False,
+                )
         if total:
             rows, lanes = self._candidate_rows(comp)
         else:
@@ -337,27 +439,7 @@ class MatchSession:
         if arr is not None:
             ln_a, e_a, st_a = arr
             gid_a = self.table.state_gid[st_a]
-            if self.sort and len(ln_a):
-                order = np.lexsort((e_a, ln_a))
-                ln_a, e_a, gid_a = ln_a[order], e_a[order], gid_a[order]
-            file_ids = batch.file_ids
-            base_off = batch.base_off
-            halo = batch.halo
-            groups = self._groups
-            for ln, e, g in zip(
-                ln_a.tolist(), e_a.tolist(), gid_a.tolist()
-            ):
-                pids = groups[g]
-                events.append(
-                    MatchEvent(
-                        file_id=int(file_ids[ln]),
-                        end_offset=int(base_off[ln]) + e - halo,
-                        pattern_indices=pids,
-                        rep_index=pids[0],
-                        lane=ln,
-                        gid=g,
-                    )
-                )
+            events = self._events_from_arrays(batch, ln_a, e_a, gid_a)
         else:  # no native dense walker: tuple fallback
             grouped: dict[tuple[int, int], set[int]] = {}
             for ln, e, pid in self._verifier.verify_batch(
@@ -399,6 +481,13 @@ class MatchSession:
             total = int(np.asarray(comp.meta)[0])
             if not total:
                 return 0, np.zeros(G, np.int64)
+            if self._dvf is not None and comp.data is not None:
+                out = self._device_verify(comp, total)
+                if out is not None:
+                    # gcounts accumulated on device from the full report
+                    # stream: exact regardless of event-slot capacity
+                    meta, _packed, gc = out
+                    return int(meta[0]), gc.astype(np.int64)
             rows, lanes = self._candidate_rows(comp)
             arr = self._verifier.verify_batch_arrays(
                 batch.data, lanes, rows, batch.halo,
@@ -412,6 +501,12 @@ class MatchSession:
             return len(ln_a), np.bincount(gid_a, minlength=G).astype(
                 np.int64
             )
+        # dense engine: the in-scan gcounts are exact even past slot
+        # overflow (the slot-derived per_group_counts undercount there)
+        if getattr(comp, "gcounts", None) is not None:
+            return int(np.asarray(comp.meta)[0]), np.asarray(
+                comp.gcounts
+            ).astype(np.int64)
         return int(np.asarray(comp.meta)[0]), np.asarray(
             per_group_counts(self.dev, comp)
         ).astype(np.int64)
@@ -473,6 +568,10 @@ class MatchSession:
             else:
                 code, rd = buf.add_stream(fobj, stream)
             eof = rd == 0
+            if eof:
+                # flush held parse state (token buffers may hold a partial
+                # trailing number when the source is not seekable)
+                buf.finalize_stream(stream)
             if buf.chunks and (code == -1 or eof):
                 batch = buf.to_batch()
                 pending.append((batch, self.scan(batch)))  # async dispatch

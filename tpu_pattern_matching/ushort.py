@@ -115,6 +115,7 @@ def run_ushort_grep(args) -> int:
         max_results=args.max_results,
         sort=getattr(args, "sort", False),
         engine=engine,
+        verify=getattr(args, "verify", "auto"),
     )
     feeder = Feeder(
         filenames,

@@ -230,3 +230,49 @@ def test_sharded_bloom_rejects_unaligned_lanes(mesh_ctx):
             jax.device_put(data, mesh_ctx.lane_sharded),
             jax.device_put(bounds, mesh_ctx.lane_sharded2d),
         )
+
+
+def test_sharded_bloom_count_step_all_device(mesh_ctx):
+    # VERDICT r2 item 1 "done" criterion: config 5 on the bloom engine
+    # with NO host verify in the loop — probe + device verify + psum
+    # group counts in one jit, agreeing exactly with the host-verified
+    # session counts
+    import io
+
+    from tpu_pattern_matching.parallel.mesh import (
+        make_sharded_bloom_count_step,
+    )
+
+    patterns = [b" alpha ", b" beta ", b" gamma "]
+    words = (b" alpha  beta  alpha  gamma " * 40) + b" beta "
+    table = compile_patterns(patterns)
+
+    sess = MatchSession(table, max_chunks=mesh_ctx.num_devices * 128,
+                        chunk_len=64, engine="bloom", mesh=mesh_ctx)
+    want = np.zeros(table.num_groups, np.int64)
+    n_want = 0
+    for bm in sess.scan_stream(io.BytesIO(words)):
+        want += sess.event_group_counts(bm)
+        n_want += bm.total
+
+    step = make_sharded_bloom_count_step(
+        mesh_ctx, sess._bloom, table, halo=sess.halo, k_cand=512, k_ev=512
+    )
+    buf = sess.new_buffer()
+    buf.add_stream(io.BytesIO(words), StreamState(file_id=0))
+    b = buf.to_batch()
+    gcounts, n_ev, flags = step(
+        sess._bloom.words,
+        jax.device_put(
+            np.ascontiguousarray(table.goto_signed).reshape(-1),
+            mesh_ctx.replicated,
+        ),
+        jax.device_put(table.state_gid.astype(np.int32),
+                       mesh_ctx.replicated),
+        jax.device_put(b.data, mesh_ctx.lane_sharded),
+        jax.device_put(np.stack([b.start_t, b.end_t]),
+                       mesh_ctx.lane_sharded2d),
+    )
+    assert int(np.asarray(flags)) == 0
+    assert int(np.asarray(n_ev)) == n_want
+    np.testing.assert_array_equal(np.asarray(gcounts).astype(np.int64), want)

@@ -217,6 +217,9 @@ class BloomFilterTable:
         fold_case: bool = False,
         alphabet_size: int = 256,
         mode: str = "auto",
+        force: tuple | None = None,  # ("strided", q, s, k, v) or
+        # ("sampled", q, w, k, v): bypass the chooser (A/B experiments
+        # validating the cost model against the chip, exp_verify_ab.py)
     ) -> "BloomFilterTable":
         """Compile the filter, choosing (mode, q, stride/w, kbanks, v).
 
@@ -374,7 +377,14 @@ class BloomFilterTable:
                             if consider(rate, c, q, 1, w, k, v):
                                 break
                             v *= 2
-        if best is not None:
+        if force is not None:
+            fmode, q, sw, k, v = force
+            s, w = (sw, 0) if fmode == "strided" else (1, sw)
+            if fmode == "strided" and not (q <= s <= lmin - q + 1):
+                raise ValueError(f"forced stride violates q<=s<=Lmin-q+1: {force}")
+            if fmode == "sampled" and not (1 <= sw <= lmin - q + 1):
+                raise ValueError(f"forced w violates 1<=w<=Lmin-q+1: {force}")
+        elif best is not None:
             _, q, s, w, k, v = best
         else:
             _, _, q, s, w, k, v = fallback

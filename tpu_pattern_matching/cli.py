@@ -88,6 +88,17 @@ def build_argparser() -> argparse.ArgumentParser:
         "replicates and survivor totals psum-reduce",
     )
     ap.add_argument(
+        "--coordinator",
+        default=None,
+        metavar="HOST:PORT",
+        help="multi-host bring-up: jax.distributed coordinator address "
+        "(run the same command on every host with its --process-id)",
+    )
+    ap.add_argument("--num-processes", type=int, default=1,
+                    help="multi-host: total number of processes")
+    ap.add_argument("--process-id", type=int, default=None,
+                    help="multi-host: this process's id (0-based)")
+    ap.add_argument(
         "--engine",
         choices=("auto", "bloom", "dense"),
         default="auto",
@@ -230,6 +241,22 @@ def main(argv: list[str] | None = None) -> int:
     check_args(args)
     align_parameters(args)
 
+    if args.num_processes > 1:
+        # multi-host bring-up BEFORE any device use: all hosts join the
+        # same jax.distributed job and see one global device set (the
+        # capability the reference approximates with one process per
+        # device, extended across hosts — SURVEY 2.5)
+        if args.process_id is None:
+            print("ERROR: --num-processes needs --process-id",
+                  file=sys.stderr)
+            sys.exit(2)
+        from tpu_pattern_matching.parallel.mesh import init_distributed
+
+        init_distributed(args.coordinator, args.num_processes,
+                         args.process_id)
+        if args.mesh is None:
+            args.mesh = "all"  # a multi-host run IS a mesh run
+
     if args.ushort:
         from tpu_pattern_matching.ushort import run_ushort_grep
 
@@ -286,12 +313,16 @@ def main(argv: list[str] | None = None) -> int:
     feeder = Feeder(
         filenames,
         n_workers=args.thread_no,
-        # the session may round max_chunks up for mesh lane alignment
-        max_chunks=sess.max_chunks,
+        # the session may round max_chunks up for mesh lane alignment;
+        # multi-process: each host assembles only its own lane shard from
+        # its own (disjoint, round-robin) file subset
+        max_chunks=sess.local_chunks,
         chunk_len=args.chunk_size,
         halo=sess.halo,
         text_mode=args.text_mode,
         follow=args.follow,
+        process_id=jax.process_index(),
+        num_processes=jax.process_count(),
     )
 
     stats = RunStats(
@@ -365,14 +396,65 @@ def main(argv: list[str] | None = None) -> int:
         # depth-2 pipeline: the device scans batch k+1 while the host
         # decodes batch k (the role of the reference's -w worker overlap)
         pending: deque = deque()
-        for item in feeder:
-            comp = sess.scan(item.batch)
-            pending.append((item, comp))
-            if len(pending) >= 2:
-                consume(*pending.popleft())
+        if jax.process_count() > 1:
+            # lockstep rounds: SPMD requires every process to dispatch the
+            # same computation; hosts whose feeders ran dry contribute an
+            # empty lane shard until ALL hosts are done (one tiny
+            # allgather per round over DCN decides)
+            from jax.experimental import multihost_utils
+
+            import numpy as _np
+
+            from tpu_pattern_matching.runtime.feeder import FeedItem
+
+            it = iter(feeder)
+            empty_batch = None
+            while True:
+                try:
+                    item = next(it)
+                except StopIteration:
+                    item = None
+                has = multihost_utils.process_allgather(
+                    _np.asarray([0 if item is None else 1])
+                )
+                if not int(has.sum()):
+                    break
+                if item is None:
+                    if empty_batch is None:
+                        empty_batch = sess.new_buffer().to_batch()
+                    item = FeedItem(batch=empty_batch, lines=0, bytes=0)
+                pending.append((item, sess.scan(item.batch)))
+                if len(pending) >= 2:
+                    consume(*pending.popleft())
+        else:
+            for item in feeder:
+                comp = sess.scan(item.batch)
+                pending.append((item, comp))
+                if len(pending) >= 2:
+                    consume(*pending.popleft())
         while pending:
             consume(*pending.popleft())
     stats.wall_us = now_us() - start
+
+    if jax.process_count() > 1:
+        # global stats: per-host counters allreduce over DCN; each host
+        # printed its own verbose lines (it is the only one that can — it
+        # alone read those files), process 0 prints the global block
+        import numpy as _np
+
+        from tpu_pattern_matching.parallel.mesh import allreduce_host_counts
+
+        tot = allreduce_host_counts(
+            _np.asarray(
+                [stats.matches_total, stats.matches_reported, stats.bytes,
+                 stats.lines, stats.rounds],
+                _np.int64,
+            )
+        )
+        (stats.matches_total, stats.matches_reported, stats.bytes,
+         stats.lines, stats.rounds) = (int(x) for x in tot)
+        if jax.process_index() != 0:
+            return 0
 
     print(stats.render())
     if args.json_stats:

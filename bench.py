@@ -60,19 +60,20 @@ def main() -> None:
     devices_with_retry()
 
     from tpu_pattern_matching.engine import best_scan_total_fn
+    from tpu_pattern_matching.ops.bloom import BloomFilterTable
 
     table = build_workload()
-    C, B = 4096, 4096  # ~16 MiB payload per scan
-    scan_total, halo = best_scan_total_fn(table, C, B)
+    C, B0 = 4096, 4096  # ~16 MiB payload per scan
+
+    # primary metric: probe-only at the probe-optimal config — the same
+    # definition rounds 1-2 reported, so the series stays comparable
+    probe_bft = BloomFilterTable.from_table(table, objective="probe")
+    scan_total, halo = best_scan_total_fn(
+        table, C, B0, bloom_table=probe_bft
+    )
     # align halo+B to the engine's row tiling so the device scans no
     # zero-padded rows (every row is real payload)
-    try:
-        from tpu_pattern_matching.ops.bloom import BloomFilterTable
-
-        tt = BloomFilterTable.from_table(table).cfg.tile_rows
-        B += (-(halo + B)) % tt
-    except Exception:
-        pass
+    B = B0 + (-(halo + B0)) % probe_bft.cfg.tile_rows
 
     rng = np.random.RandomState(7)
     data = jax.device_put(
@@ -109,6 +110,22 @@ def main() -> None:
 
     per_scan = (best_time(K_HI) - best_time(K_LO)) / (K_HI - K_LO)
     value = C * B / per_scan
+
+    # joint metric (VERDICT r2 weak 1 / item 3): the WHOLE exactness
+    # pipeline — probe + candidate compaction + windowed dense-table walk
+    # + per-group counts — fused in one jit and K-looped, so the number is
+    # tunnel-independent and includes nothing for free. Measured at the
+    # joint-objective chooser pick, on clean data and at 1e-3 planted
+    # true-gram density; the host-verify arm's host-side cost per batch is
+    # reported alongside (host work overlaps the next batch's scan in the
+    # pipeline, so joint-throughput-with-host-verify is
+    # bytes / max(probe_s, host_s) on a one-core-per-chip deployment).
+    extra = {}
+    try:
+        extra = joint_metrics(jax, jnp, table, C, B0, rng)
+    except Exception as e:  # the primary metric must survive regardless
+        extra = {"joint_error": repr(e)[:200]}
+
     print(
         json.dumps(
             {
@@ -121,9 +138,152 @@ def main() -> None:
                 # labeled here so the ratio is not mistaken for a measured
                 # reference figure
                 "baseline_denominator": "nominal 1e9 bytes/s/chip (reference publishes no benchmark numbers)",
+                **extra,
             }
         )
     )
+
+
+def joint_metrics(jax, jnp, table, C, B0, rng) -> dict:
+    import functools
+    import time
+
+    from tpu_pattern_matching.ops.bloom import (
+        BloomFilterTable,
+        DeviceBloom,
+        _hits_jit,
+        unpack_hit_rows,
+    )
+    from tpu_pattern_matching.ops.verify_device import (
+        _verify_kernel,
+        next_pow2,
+    )
+    from tpu_pattern_matching.runtime.verify import Verifier
+    from tpu_pattern_matching.utils.common import pad_halo
+
+    bft = BloomFilterTable.from_table(table)  # joint-objective pick
+    cfg = bft.cfg
+    halo = pad_halo(table.max_pat_len - 1, B0)
+    B = B0 + (-(halo + B0)) % cfg.tile_rows
+    size = C * B
+    words = jax.device_put(bft.words)
+    table_flat = jax.device_put(
+        np.ascontiguousarray(table.goto_signed).reshape(-1)
+    )
+    state_gid = jax.device_put(table.state_gid.astype(np.int32))
+    interpret = DeviceBloom._interpret()
+    verifier = Verifier(
+        [p.symbols for p in table.patterns],
+        q=cfg.q, max_pat_len=table.max_pat_len, dense_table=table,
+    )
+    pats = [p.symbols for p in table.patterns]
+    out = {
+        "joint_config": ("sampled" if cfg.sampled else "strided")
+        + f"_q{cfg.q}s{cfg.stride}w{cfg.w}k{cfg.kbanks}v{cfg.v}",
+    }
+    start_np = np.full(C, halo, np.int32)
+    end_np = np.full(C, halo + B, np.int32)
+    for density, tag in ((0.0, "d0"), (1e-3, "d1e3")):
+        data_np = rng.randint(0, 256, size=(C, halo + B)).astype(np.uint8)
+        if density > 0:
+            n_seed = max(1, int(size * density) // 12)
+            lanes_s = rng.randint(0, C, size=n_seed)
+            pos_s = rng.randint(halo, halo + B - 12, size=n_seed)
+            chosen = rng.randint(0, len(pats), size=n_seed)
+            for k in range(12):
+                data_np[lanes_s, pos_s + k] = [
+                    pats[c][k] for c in chosen
+                ]
+        data = jax.device_put(data_np)
+        bounds = jax.device_put(np.stack([start_np, end_np]))
+        meta, bits = _hits_jit(data, bounds, words, cfg=cfg,
+                               interpret=interpret)
+        survivors = int(np.asarray(meta)[0])
+        bits_np = np.asarray(bits)
+        k_cand = next_pow2(max(survivors, 1))
+
+        @functools.partial(jax.jit, static_argnames=("K",))
+        def joint(data, bounds, *, K, k_cand=k_cand):
+            def body(acc, _):
+                b2 = bounds.at[0, 0].add(acc & 1)
+                total, bits = _hits_jit(data, b2, words, cfg=cfg,
+                                        interpret=interpret)
+                m, _p, gc = _verify_kernel(
+                    table_flat, state_gid, data, b2, bits,
+                    alphabet_size=table.alphabet_size, stride=cfg.stride,
+                    q=cfg.q, lmax=table.max_pat_len, halo=halo,
+                    k_cand=k_cand, k_ev=k_cand,
+                    num_groups=table.num_groups,
+                )
+                return acc + total[0] + m[0] + gc[0], None
+
+            acc, _ = jax.lax.scan(
+                body, jnp.zeros((), jnp.int32), None, length=K
+            )
+            return acc
+
+        def run(K):
+            return int(joint(data, bounds, K=K))
+
+        run(1)
+        run(9)
+
+        def best_time(K, n=4):
+            b = float("inf")
+            for _ in range(n):
+                t0 = time.perf_counter()
+                run(K)
+                b = min(b, time.perf_counter() - t0)
+            return b
+
+        per = (best_time(9) - best_time(1)) / 8
+        host = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            rows, lanes = unpack_hit_rows(bits_np, cfg.stride)
+            verifier.verify_batch_arrays(
+                data_np, lanes, rows, halo, start_np, end_np
+            )
+            host = min(host, time.perf_counter() - t0)
+        out[f"joint_device_bytes_per_s_{tag}"] = size / per
+        out[f"survivors_per_byte_{tag}"] = survivors / size
+        out[f"host_verify_s_per_batch_{tag}"] = host
+        out[f"probe_plus_host_pipelined_bytes_per_s_{tag}"] = None  # filled
+    # the probe-only cost of the JOINT config (for the pipelined-host calc)
+    @functools.partial(jax.jit, static_argnames=("K",))
+    def probe_only(data, bounds, *, K):
+        def body(acc, _):
+            b2 = bounds.at[0, 0].add(acc & 1)
+            total, _bits = _hits_jit(data, b2, words, cfg=cfg,
+                                     interpret=interpret)
+            return acc + total[0], None
+
+        acc, _ = jax.lax.scan(
+            body, jnp.zeros((), jnp.int32), None, length=K
+        )
+        return acc
+
+    def prun(K):
+        return int(probe_only(data, bounds, K=K))
+
+    prun(1)
+    prun(9)
+
+    def pbest(K, n=4):
+        b = float("inf")
+        for _ in range(n):
+            t0 = time.perf_counter()
+            prun(K)
+            b = min(b, time.perf_counter() - t0)
+        return b
+
+    probe_s = (pbest(9) - pbest(1)) / 8
+    out["joint_probe_only_bytes_per_s"] = size / probe_s
+    for tag in ("d0", "d1e3"):
+        out[f"probe_plus_host_pipelined_bytes_per_s_{tag}"] = size / max(
+            probe_s, out[f"host_verify_s_per_batch_{tag}"]
+        )
+    return out
 
 
 if __name__ == "__main__":

@@ -37,9 +37,11 @@ def main() -> None:
     ap.add_argument("--rounds", type=int, default=3)
     ap.add_argument("--densities", default="0,0.001,0.01")
     ap.add_argument("--force", default="",
-                    help="force filter configs: 'q,s,k,v[;q,s,k,v...]' "
-                    "(strided) — sweep each against the chooser pick")
+                    help="force filter configs: 'q,s,k,v[;...]' (strided) "
+                    "or 'S:q,w,k,v' (sampled) — sweep vs the chooser pick")
     ap.add_argument("--mode", default="auto")
+    ap.add_argument("--objective", default="joint",
+                    help="chooser objective for the 'auto' variant")
     args = ap.parse_args()
 
     import jax
@@ -67,14 +69,20 @@ def main() -> None:
     pats = [bytes(rng.randint(0, 256, size=12).astype(np.uint8))
             for _ in range(args.patterns)]
     table = compile_patterns(pats)
-    variants = [("auto", BloomFilterTable.from_table(table, mode=args.mode))]
+    variants = [(
+        f"auto-{args.objective}",
+        BloomFilterTable.from_table(
+            table, mode=args.mode, objective=args.objective
+        ),
+    )]
     for spec in (s for s in args.force.split(";") if s):
+        fmode = "strided"
+        if spec.startswith("S:"):
+            fmode, spec = "sampled", spec[2:]
         q, s, k, v = (int(x) for x in spec.split(","))
         variants.append((
-            f"q{q}s{s}k{k}v{v}",
-            BloomFilterTable.from_table(
-                table, force=("strided", q, s, k, v)
-            ),
+            f"{fmode[:1]}q{q}{'w' if fmode == 'sampled' else 's'}{s}k{k}v{v}",
+            BloomFilterTable.from_table(table, force=(fmode, q, s, k, v)),
         ))
     table_flat = jax.device_put(
         np.ascontiguousarray(table.goto_signed).reshape(-1)

@@ -220,6 +220,10 @@ class BloomFilterTable:
         force: tuple | None = None,  # ("strided", q, s, k, v) or
         # ("sampled", q, w, k, v): bypass the chooser (A/B experiments
         # validating the cost model against the chip, exp_verify_ab.py)
+        objective: str = "joint",
+        verify_ns_per_cand: float = 700.0,  # measured host verify cost
+        # (~600-780 ns/candidate incl. bitmap unpack + window merge,
+        # exp_verify_ab round 3; the device verify stage is ~1.1 us/slot)
     ) -> "BloomFilterTable":
         """Compile the filter, choosing (mode, q, stride/w, kbanks, v).
 
@@ -241,10 +245,24 @@ class BloomFilterTable:
 
         kbanks beyond MAX_BANKS_PER_KERNEL split across ANDed kernel
         invocations, so large pattern sets can buy fp headroom with extra
-        probe passes. Minimize per-byte probe cost subject to predicted
-        CANDIDATE rate (bloom fp + true-gram hits) <= fp_target; if no
-        config meets the target, take the lowest-rate one — correctness
-        never depends on fp, only verify cost does.
+        probe passes.
+
+        ``objective`` picks what the search minimizes:
+
+        - "joint" (default) — the PIPELINED per-byte cost of the whole
+          exactness pipeline, max(probe_ns, rate x verify_ns_per_cand):
+          probe (device) and verify (host thread or device verify stage)
+          overlap in the scan_stream pipeline, so the slower stage is the
+          throughput. Constants measured on v5e round 3
+          (benchmarks/exp_verify_ab.py): the round-2 probe-only objective
+          picked a 2.3e-3 candidates/byte config whose joint throughput
+          was verify-bound at ~1/10 of the probe number.
+        - "probe" — legacy probe-cost objective with a soft verify
+          surcharge (the round-2 rule; kept for probe-only benchmarking
+          continuity, bench.py primary metric).
+
+        If no config meets the eligibility rate cap, the lowest-rate one
+        wins — correctness never depends on fp, only verify cost does.
         """
         if fold_case and alphabet_size != 256:
             raise ValueError("fold_case requires the byte alphabet")
@@ -321,22 +339,36 @@ class BloomFilterTable:
         best = None  # (objective, q, s, w, k, v) meeting the rate cap
         fallback = None  # (rate, cost, q, s, w, k, v) best-effort
 
-        # Soft verify surcharge + throughput-coupled cap (round-2 A/B:
-        # at 100k the hard fp_target forced a 9th bank = a second ANDed
-        # kernel pass, measured 13% slower than k=8 at a still-harmless
-        # candidate rate). A candidate costs ~1800 probe-cost units of
-        # host verify (4.4M windows/s/thread vs ~0.03ns/byte/cost-unit
-        # device), and the rate a config may spend scales with its cost:
-        # fast configs saturate the host verifier at lower rates.
+        # Probe-cost calibration: the official q4s4k6v16 point measured
+        # 0.1295 ns/byte on v5e at probe_cost = 167 units
+        # (exp_verify_ab round 3) -> ~0.00078 ns/byte per cost unit.
+        PROBE_NS_PER_UNIT = 0.00078
+
+        # Legacy probe-objective surcharge (round-2 rule, kept for
+        # objective="probe"): a soft verify tax + throughput-coupled cap.
         VERIFY_UNITS = 1800.0
 
         def rate_cap(cost):
+            if objective == "joint":
+                # eligibility only guards against candidate floods the
+                # decode path cannot absorb; the objective itself prices
+                # verify correctly
+                return max(fp_target, 1e-2)
             return max(fp_target, min(4e-3, 2e-5 * cost))
 
         def consider(rate, cost, q, s, w, k, v):
             nonlocal best, fallback
             if rate <= rate_cap(cost):
-                obj = cost + rate * VERIFY_UNITS
+                if objective == "joint":
+                    probe_ns = cost * PROBE_NS_PER_UNIT
+                    ver_ns = rate * verify_ns_per_cand
+                    # probe (device) and verify (host/device stage)
+                    # overlap in the pipeline: the slower stage IS the
+                    # throughput; the small sum term breaks ties toward
+                    # less total work
+                    obj = max(probe_ns, ver_ns) + 0.05 * (probe_ns + ver_ns)
+                else:
+                    obj = cost + rate * VERIFY_UNITS
                 if best is None or obj < best[0]:
                     best = (obj, q, s, w, k, v)
                 return True
@@ -345,6 +377,12 @@ class BloomFilterTable:
             ):
                 fallback = (rate, cost, q, s, w, k, v)
             return False
+
+        # the legacy probe objective is monotone in v (more filter only
+        # costs), so its v loop breaks at first eligibility; the joint
+        # objective is NOT (more filter can pay for itself in verify
+        # savings) — scan every v
+        scan_all_v = objective == "joint"
 
         if mode in ("auto", "strided"):
             for q in range(1, q_max + 1):
@@ -355,7 +393,9 @@ class BloomFilterTable:
                         while v <= max_v:
                             rate = candidate_rate(q, n, k, v, s=s)
                             c = probe_cost(q, k, v, s=s)
-                            if consider(rate, c, q, s, 0, k, v):
+                            if consider(rate, c, q, s, 0, k, v) and (
+                                not scan_all_v
+                            ):
                                 break
                             v *= 2
         if mode in ("auto", "sampled"):
@@ -374,7 +414,9 @@ class BloomFilterTable:
                         while v <= max_v_s:
                             rate = candidate_rate(q, n, k, v, w=w)
                             c = probe_cost(q, k, v, w=w)
-                            if consider(rate, c, q, 1, w, k, v):
+                            if consider(rate, c, q, 1, w, k, v) and (
+                                not scan_all_v
+                            ):
                                 break
                             v *= 2
         if force is not None:

@@ -261,6 +261,41 @@ def config6(data_dir: str) -> None:
         rounds=rounds,
     )
 
+    # ushort arm: flow-text -> token ingest without the device scan (the
+    # token path's _EMPTY baseline; the byte arm above cannot see the
+    # parse cost — VERDICT r2 item 7)
+    from tpu_pattern_matching.runtime.buffers import UshortBuffer
+
+    flow = os.path.join(data_dir, "flow_tokens.txt")
+    if not os.path.exists(flow) or os.path.getsize(flow) < 32 << 20:
+        rng = np.random.RandomState(5)
+        with open(flow, "w") as f:
+            while f.tell() < (32 << 20):
+                f.write(
+                    ",".join(map(str, rng.randint(0, 1500, size=65536)))
+                    + ","
+                )
+    feeder = Feeder(
+        [flow], n_workers=1, max_chunks=2048, chunk_len=2048, halo=16,
+        buffer_factory=UshortBuffer,
+    )
+    t0 = time.perf_counter()
+    feeder.start()
+    raw_bytes = 0
+    tokens = 0
+    for item in feeder:
+        raw_bytes += item.bytes
+        tokens += item.batch.payload_bytes // 2
+    dt = time.perf_counter() - t0
+    emit(
+        "6u_ushort_datapath_only",
+        text_bytes=raw_bytes,
+        tokens=tokens,
+        wall_s=round(dt, 3),
+        text_bytes_per_s=raw_bytes / dt,
+        tokens_per_s=tokens / dt,
+    )
+
 
 def config5() -> None:
     """Sentiment psum workload: lanes sharded across all devices.

@@ -328,7 +328,50 @@ class DataBuffer:
 
 # ------------------------------------------------------- ushort (AC_ushorts)
 
-_DIGITS = re.compile(rb"\d+")
+
+def _parse_digit_runs(buf: bytes, clamp: int) -> np.ndarray:
+    """All decimal runs of ``buf`` as uint16 tokens — fully vectorized.
+
+    The reference parses tokens with per-line strtol loops in C
+    (AC_ushorts/databuf.c:154-190); the round-2 Python version did regex
+    findall + per-token int(), capping the token ingest path at Python
+    rate (VERDICT r2 item 7). Here run boundaries come from one mask
+    diff, and values from a per-run-length Horner evaluation in uint64 —
+    whose wraparound is EXACT for the ``value & 0xFFFF`` semantics
+    (2**16 divides 2**64), so arbitrarily long digit runs parse
+    identically to arbitrary-precision int() & 0xFFFF.
+    """
+    a = np.frombuffer(buf, np.uint8)
+    isd = (a >= 48) & (a <= 57)
+    n_dig = int(isd.sum())
+    if n_dig == 0:
+        return np.zeros(0, np.uint16)
+    d = np.diff(isd.astype(np.int8))
+    starts = np.flatnonzero(d == 1) + 1
+    ends = np.flatnonzero(d == -1) + 1
+    if isd[0]:
+        starts = np.concatenate([np.zeros(1, np.int64), starts])
+    if isd[-1]:
+        ends = np.concatenate([ends, np.asarray([len(a)], np.int64)])
+    lens = ends - starts
+    vals = np.zeros(len(starts), np.uint64)
+    for L in np.unique(lens):
+        sel = lens == L
+        st = starts[sel]
+        digits = (
+            a[st[:, None] + np.arange(L, dtype=np.int64)[None, :]]
+            .astype(np.uint64)
+            - 48
+        )
+        # 10^k mod 2^64 wraps consistently with int(...) & 0xFFFF
+        powers = np.asarray(
+            [pow(10, int(k), 1 << 64) for k in range(int(L) - 1, -1, -1)],
+            np.uint64,
+        )
+        with np.errstate(over="ignore"):
+            vals[sel] = digits @ powers
+    return np.minimum(vals & np.uint64(0xFFFF),
+                      np.uint64(clamp)).astype(np.uint16)
 
 
 def parse_token_stream(
@@ -353,10 +396,7 @@ def parse_token_stream(
         rem = b""
     if not buf:
         return np.zeros(0, np.uint16), rem
-    vals = np.asarray(
-        [int(m) for m in _DIGITS.findall(buf)], np.int64
-    )
-    return np.minimum(vals & 0xFFFF, clamp).astype(np.uint16), rem
+    return _parse_digit_runs(buf, clamp), rem
 
 
 class UshortBuffer(DataBuffer):

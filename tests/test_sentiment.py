@@ -121,3 +121,31 @@ def test_stdin_pipe_mode(capsys, monkeypatch):
     # running decayed count per match line + final frequency dict
     assert out.splitlines()[0].startswith("1 1.0")
     assert "{'5': 2, '-2': 1}" in out
+
+
+def test_bulk_group_counts_equals_per_event():
+    # the closed-form bulk update must equal n per-event updates at the
+    # same timestamp exactly (linearity of the decayed counter at dt=0)
+    from tpu_pattern_matching.apps.sentiment import SentimentAnalyzer
+
+    iids = [-1, 2, 3]
+    labels = ["bad", "good", "great"]
+    meta = {-1: 1.5, 2: 2.0, 3: 0.5}
+    groups = [[0], [1, 2], [2]]
+    counts = np.asarray([3, 0, 1000])
+    a = SentimentAnalyzer(iids, labels, meta)
+    b = SentimentAnalyzer(iids, labels, meta)
+    t = 1_000_000.0
+    a.add_group_counts(counts, groups, now=t)
+    for g, n in enumerate(counts):
+        for _ in range(int(n)):
+            for pidx in groups[g]:
+                b.add_match(pidx, now=t)
+    assert a.matches == b.matches == 1003
+    for w in a.windows:
+        assert a.pos[w].get() == pytest.approx(b.pos[w].get(), rel=1e-12)
+        assert a.neg[w].get() == pytest.approx(b.neg[w].get(), rel=1e-12)
+        for pidx in (0, 2):
+            assert a.freq[w][pidx].get() == pytest.approx(
+                b.freq[w][pidx].get(), rel=1e-12
+            )

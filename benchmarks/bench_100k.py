@@ -51,7 +51,10 @@ def main(n_patterns=100_000):
     table = compile_patterns(pats)
     dfa_build_s = time.time() - t0
     t0 = time.time()
-    bft = BloomFilterTable.from_table(table)  # built ONCE, reused below
+    # probe objective: this curve reports PROBE-only bytes/s, comparable
+    # to the round-1/2 entries (the session default optimizes the joint
+    # pipeline instead — bench.py reports that)
+    bft = BloomFilterTable.from_table(table, objective="probe")
     filter_build_s = time.time() - t0
     scan_total, halo = best_scan_total_fn(
         table, 4096, 4096, engine="bloom", bloom_table=bft

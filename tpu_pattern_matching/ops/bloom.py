@@ -40,10 +40,11 @@ includes the TRUE-gram hit rate — a filter on 1-grams of a 10k-pattern set
 would pass every byte no matter how empty the bloom is.
 
 This replaces the role of ahomatch.cl:50-77 (the per-byte DFA walk) with a
-design native to the TPU's VPU: ~5.6 GB/s/chip measured honestly at the
-official 10k-signature point (chooser config q4 s4 k8 V16) — ~75x the XLA
-DFA walk — and 15-50 GB/s on smaller sets whose configs need fewer
-gather+select chains (BENCH_NOTES.md).
+design native to the TPU's VPU: one to two orders of magnitude over the
+XLA DFA walk's ~75 MB/s ceiling, scaling with pattern-set size and filter
+configuration. Current measured figures live in BENCH_NOTES.md (single
+source — the round-closing tables), with the measurement protocol each
+number was taken under.
 """
 
 from __future__ import annotations

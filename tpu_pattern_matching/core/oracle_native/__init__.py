@@ -101,8 +101,44 @@ def _lib():
             ctypes.c_int64,  # lane_stride (elements)
             ctypes.c_int32,  # sym_bytes
         ] + lib.oracle_match_windows.argtypes[4:]
+        lib.unpack_bitmap.restype = ctypes.c_int64
+        lib.unpack_bitmap.argtypes = [
+            ctypes.c_void_p,  # bits
+            ctypes.c_int64,  # n_words_rows
+            ctypes.c_int64,  # n_cols
+            ctypes.c_int64,  # stride
+            ctypes.c_void_p,  # out_rows
+            ctypes.c_void_p,  # out_lanes
+            ctypes.c_int64,  # cap
+        ]
         _LIB = lib
         return lib
+
+
+def unpack_bitmap(
+    bits: np.ndarray, stride: int, total_hint: int = 0
+) -> tuple[np.ndarray, np.ndarray]:
+    """(rows, lanes) of set bits in the survivor bitmap, (lane, row)
+    ordered — the native decode-path expansion (one ctz per set bit)."""
+    lib = _lib()
+    bits = np.ascontiguousarray(bits)
+    W, C = bits.shape
+    cap = max(int(total_hint), 4096)
+    while True:
+        out_rows = np.empty(cap, np.int64)
+        out_lanes = np.empty(cap, np.int64)
+        n = lib.unpack_bitmap(
+            bits.ctypes.data_as(ctypes.c_void_p),
+            W,
+            C,
+            stride,
+            out_rows.ctypes.data_as(ctypes.c_void_p),
+            out_lanes.ctypes.data_as(ctypes.c_void_p),
+            cap,
+        )
+        if n <= cap:
+            return out_rows[:n], out_lanes[:n]
+        cap = int(n)
 
 
 def dense_match_windows(

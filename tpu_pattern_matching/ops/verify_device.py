@@ -70,8 +70,9 @@ class DeviceVerifyResult:
     ``meta = [n_events, reported, n_cand, flags]``; flags bit0 = candidate
     capacity overflow (results incomplete — impossible when the capacity
     bucket was chosen from the probe total), bit1 = event capacity overflow
-    (``packed`` truncated; ``gcounts`` and n_events stay EXACT — they
-    accumulate from every report, not from the stored slots).
+    (``packed`` truncated and ``gcounts`` incomplete; ``n_events`` stays
+    exact, so the caller retries with that capacity — the session path
+    does automatically).
     ``packed[3, K]`` = (lane, end_row, state) sorted by (lane, end_row).
     """
 
@@ -233,17 +234,23 @@ def _verify_kernel(
         k_ev,
     )
 
-    # ---- stage 5: per-group counts (psum-able; EXACT past k_ev: counted
-    # from the report stream, not the stored slots) -------------------------
-    gid_cm = jnp.take(state_gid, st_cm, mode="clip")
-    gidx = jnp.where(rep_cm, gid_cm, G)
+    # ---- stage 5: per-group counts (psum-able) ----------------------------
+    # Counted from the COMPACTED events: a state_gid gather over the full
+    # [k_cand * WLp] report stream costs ~13 ns/element serialized (2+ ms
+    # at official shapes); over k_ev slots it is ~0.1 ms. Exact whenever
+    # n_ev <= k_ev — guaranteed on the session path (capacity retry uses
+    # the exact n_ev), flagged loudly (bit1) on the fixed-capacity mesh
+    # step.
+    reported = jnp.minimum(n_ev, k_ev)
+    slot_ev = jax.lax.broadcasted_iota(jnp.int32, (k_ev, 1), 0).squeeze(-1)
+    live_ev = slot_ev < reported
+    gid_ev = jnp.take(state_gid, ev_state, mode="clip")
+    gidx = jnp.where(live_ev, gid_ev, G)
     gcounts = (
         jnp.zeros((G,), jnp.int32)
         .at[gidx]
-        .add(rep_cm.astype(jnp.int32), mode="drop")
+        .add(live_ev.astype(jnp.int32), mode="drop")
     )
-
-    reported = jnp.minimum(n_ev, k_ev)
     flags = cand_over.astype(jnp.int32) | (
         ev_over.astype(jnp.int32) << 1
     )

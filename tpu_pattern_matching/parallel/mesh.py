@@ -178,12 +178,12 @@ def make_sharded_bloom_count_step(
 
     Returns ``step(words, table_flat, state_gid, data, bounds) ->
     (gcounts [G] replicated, n_events [] replicated, flags [] replicated)``
-    where ``flags != 0`` means SOME shard overflowed its fixed per-shard
-    candidate capacity (bit0) — gcounts are then incomplete and the caller
-    must rescan with a larger ``k_cand`` or fall back to host verify.
-    Event-slot overflow (bit1) does NOT affect gcounts (they accumulate
-    from the report stream). Per-shard capacities are static: unlike the
-    single-chip decode path, a fused mesh step cannot bucket per batch.
+    where ``flags != 0`` means SOME shard overflowed a fixed per-shard
+    capacity (bit0 candidates, bit1 event slots) — gcounts are then
+    incomplete and the caller must rescan with larger capacities or fall
+    back to host verify; ``n_events`` stays exact either way. Per-shard
+    capacities are static: unlike the single-chip decode path, a fused
+    mesh step cannot bucket per batch.
     """
     try:
         from jax import shard_map

@@ -178,5 +178,59 @@ def main():
         print(json.dumps({k: v}))
 
 
+def verify_stage_solo():
+    """Time _verify_kernel alone (no probe) at official-like shapes, per
+    stage-count bucket — where does the measured fused overhead live?"""
+    import jax
+    import jax.numpy as jnp
+
+    from bench import devices_with_retry
+
+    devices_with_retry()
+
+    from tpu_pattern_matching.core.dfa import compile_patterns
+    from tpu_pattern_matching.ops.verify_device import _verify_kernel
+
+    rng = np.random.RandomState(0)
+    pats = [bytes(rng.randint(0, 256, size=12).astype(np.uint8))
+            for _ in range(10_000)]
+    table = compile_patterns(pats)
+    C, T = 4096, 4352
+    W = T // 32  # stride-1 (sampled) bitmap shape
+    n_cand = 4600
+    bits_np = np.zeros((W, C), np.uint32)
+    wi = rng.randint(0, W, size=n_cand)
+    ci = rng.randint(0, C, size=n_cand)
+    bi = rng.randint(0, 32, size=n_cand)
+    np.bitwise_or.at(bits_np, (wi, ci), np.uint32(1) << bi.astype(np.uint32))
+    data = jax.device_put(
+        rng.randint(0, 256, size=(C, T)).astype(np.uint8)
+    )
+    bounds = jax.device_put(
+        np.stack([np.full(C, 16, np.int32), np.full(C, T, np.int32)])
+    )
+    bits = jax.device_put(bits_np.astype(np.int32))
+    table_flat = jax.device_put(
+        np.ascontiguousarray(table.goto_signed).reshape(-1)
+    )
+    state_gid = jax.device_put(table.state_gid.astype(np.int32))
+
+    for k_cand in (4096, 8192):
+        def vfn(acc, bits, k_cand=k_cand):
+            b2 = bits | (acc & 0)
+            m, _p, gc = _verify_kernel(
+                table_flat, state_gid, data, bounds, b2,
+                alphabet_size=256, stride=1, q=4, lmax=12, halo=16,
+                k_cand=k_cand, k_ev=k_cand, num_groups=table.num_groups,
+            )
+            return acc + m[0] + gc[0]
+
+        t = timeit(vfn, (bits,))
+        print(json.dumps({f"verify_solo_k{k_cand}_s": t}))
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "solo":
+        verify_stage_solo()
+    else:
+        main()

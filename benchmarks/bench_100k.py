@@ -69,23 +69,27 @@ def main(n_patterns=100_000):
     )
     dense_walker_bound = verifier._dense is not None
 
-    # compiled-artifact roundtrip at scale (pickle-free flat format)
+    # compiled-artifact roundtrip at scale (pickle-free flat format);
+    # past ~500k patterns the npz compression of a multi-GB table costs
+    # tens of minutes — skip it there (the 300k row covers the feature)
     import tempfile
 
-    with tempfile.TemporaryDirectory() as td:
-        t0 = time.time()
-        table.save(os.path.join(td, "dfa.npz"))
-        bft.save(os.path.join(td, "bloom.npz"))
-        save_s = time.time() - t0
-        t0 = time.time()
-        from tpu_pattern_matching.core.dfa import DfaTable
+    save_s = load_s = -1.0
+    if n_patterns <= 500_000:
+      with tempfile.TemporaryDirectory() as td:
+          t0 = time.time()
+          table.save(os.path.join(td, "dfa.npz"))
+          bft.save(os.path.join(td, "bloom.npz"))
+          save_s = time.time() - t0
+          t0 = time.time()
+          from tpu_pattern_matching.core.dfa import DfaTable
 
-        t2 = DfaTable.load(os.path.join(td, "dfa.npz"))
-        b2 = BloomFilterTable.load(os.path.join(td, "bloom.npz"))
-        load_s = time.time() - t0
-        assert t2.num_states == table.num_states
-        assert b2.cfg == bft.cfg
-        del t2, b2
+          t2 = DfaTable.load(os.path.join(td, "dfa.npz"))
+          b2 = BloomFilterTable.load(os.path.join(td, "bloom.npz"))
+          load_s = time.time() - t0
+          assert t2.num_states == table.num_states
+          assert b2.cfg == bft.cfg
+          del t2, b2
 
     C, B = 4096, 4096
     B += (-(halo + B)) % cfg.tile_rows

@@ -401,9 +401,14 @@ class BloomFilterTable:
                             v *= 2
         if mode in ("auto", "sampled"):
             # sampled mode exists for huge pattern sets, where bloom
-            # capacity is the wall — let its v range stretch further than
-            # the strided default (the unit fori_loop path bounds VMEM)
-            max_v_s = max(max_v, 32)
+            # capacity is the wall — let its v range stretch far past the
+            # strided default (the unit fori_loop path bounds VMEM; the
+            # words array tops out at k16 x v256 x 128 x 4B = 8 MB). The
+            # round-3 300k point showed why: at v<=32 the filter holds
+            # 286k fingerprints at fp 0.15/position — a 3.8e-2/byte
+            # candidate flood no verifier absorbs; v=64-256 restores
+            # usable fp at 300k-1M patterns.
+            max_v_s = max(max_v, 256)
             for q in range(1, min(8, lmin) + 1):
                 w_full = lmin - q + 1
                 for w in sorted({min(w_full, x) for x in (4, 8, 16)}):

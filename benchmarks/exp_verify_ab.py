@@ -60,7 +60,7 @@ def main() -> None:
     )
     from tpu_pattern_matching.ops.verify_device import (
         _verify_kernel,
-        next_pow2,
+        next_cap,
     )
     from tpu_pattern_matching.runtime.verify import Verifier
     from tpu_pattern_matching.utils.common import pad_halo
@@ -141,7 +141,7 @@ def main() -> None:
                                interpret=interpret)
         survivors = int(np.asarray(meta)[0])
         bits_np = np.asarray(bits)
-        k_cand = next_pow2(max(survivors, 1))
+        k_cand = next_cap(max(survivors, 1))
         k_ev = k_cand
 
         @functools.partial(jax.jit, static_argnames=("K",))

@@ -86,3 +86,33 @@ def test_sampled_kernel_on_hardware():
                         chunk_len=512, engine="bloom",
                         bloom_opts={"mode": "sampled"})
     assert sess.find(data) == sorted(match_python(pats, data))
+
+def test_bitcast_byte_order_and_device_verify_on_hardware():
+    # the device-verify walk prefetches candidate windows as packed uint32
+    # words (verify_device.py stage 3) and unpacks them assuming bitcast
+    # element 0 = low byte; assert that order on real silicon, then run a
+    # device-verify parity case through the Mosaic-compiled probe
+    import jax
+    import jax.numpy as jnp
+    from tpu_pattern_matching.core.dfa import compile_patterns
+    from tpu_pattern_matching.core.oracle import match_python
+    from tpu_pattern_matching.runtime.session import MatchSession
+
+    x = jnp.asarray(np.arange(8, dtype=np.uint8)).reshape(2, 4)
+    w = np.asarray(jax.lax.bitcast_convert_type(x, jnp.uint32))
+    assert list(w) == [0x03020100, 0x07060504]
+    u = jnp.asarray(np.array([0x0102, 0x0304], np.uint16)).reshape(1, 2)
+    assert int(np.asarray(
+        jax.lax.bitcast_convert_type(u, jnp.uint32))[0]) == 0x03040102
+
+    rng = np.random.RandomState(11)
+    pats = [bytes(rng.randint(0, 256, size=rng.randint(5, 13)).astype(np.uint8))
+            for _ in range(128)]
+    data = bytearray(rng.randint(0, 256, size=1 << 15).astype(np.uint8))
+    for i, pos in enumerate((1, 999, 32000)):
+        p = pats[i]
+        data[pos : pos + len(p)] = p
+    data = bytes(data)
+    sess = MatchSession(compile_patterns(pats), max_chunks=64,
+                        chunk_len=512, engine="bloom", verify="device")
+    assert sess.find(data) == sorted(match_python(pats, data))

@@ -37,7 +37,7 @@ end offset in the scan kernel itself). Pipeline (one jit):
 
 Capacities are BUCKETED: the caller fetches the probe's exact survivor
 total first (one 4-byte transfer, already part of the decode protocol) and
-dispatches with the next power-of-two capacity, so candidate overflow
+dispatches with the next bucketed capacity, so candidate overflow
 cannot happen below the cap and compile count stays log2-bounded. Event
 overflow is detected exactly (meta) and retried with the exact needed
 capacity.
@@ -55,9 +55,18 @@ import numpy as np
 INT32_MAX = np.iinfo(np.int32).max
 
 
-def next_pow2(n: int, lo: int = 256) -> int:
+def next_cap(n: int, lo: int = 256) -> int:
+    """Smallest capacity >= n on the {1, 1.5} x 2^k ladder.
+
+    The walk's marginal cost is linear in the capacity bucket, so the
+    power-of-two ladder's ~33% average waste was real milliseconds; the
+    denser ladder halves the waste for at most 2x the compile count
+    (still log-bounded)."""
     k = lo
     while k < n:
+        k15 = k + (k >> 1)
+        if k15 >= n:
+            return k15
         k *= 2
     return k
 
@@ -113,6 +122,7 @@ def _verify_kernel(
     k_cand: int,
     k_ev: int,
     num_groups: int,
+    prefetch_windows="auto",  # "bitcast" | "rowgather" | False | "auto"
 ):
     C, T = data.shape
     W, Cb = bits.shape  # Cb >= C: the probe pads lanes to a 128 multiple
@@ -175,6 +185,65 @@ def _verify_kernel(
     base = lane_c * T + w0
     data_flat = data.reshape(-1)
     keep_lo = jnp.maximum(row + q - 1, halo)
+    # Window prefetch: the XLA:TPU gather wall is per gathered ELEMENT
+    # (~13 ns whether the element is 1 or 4 bytes — BENCH_NOTES), so ONE
+    # uint32 gather of WLp/per+1 packed words per candidate replaces WLp
+    # serialized per-symbol gathers of the data side of the walk (the
+    # table gather chain is data-dependent and stays).  `per` symbols
+    # pack into each word (4 x uint8 or 2 x uint16; probe batches are
+    # tile-rows aligned so the bitcast needs no padding).  Little-endian
+    # element order (bitcast element 0 = low byte) is asserted by
+    # tests/test_verify_device.py and on real silicon by
+    # tests/test_tpu_hardware.py.
+    itemsize = data.dtype.itemsize
+    per = 4 // itemsize
+    if prefetch_windows == "auto":
+        # Measured crossover (exp_walk_ab.py, BENCH_NOTES round 3): the
+        # batch-wide uint8->uint32 bitcast relayout costs ~2.4 ms in the
+        # fused pipeline, and the per-slot gather saving (~0.45 us/slot)
+        # crosses it at ~8k candidate slots. Below, the serialized
+        # per-symbol gathers are cheaper; above, the word prefetch wins
+        # (+20% fused device-joint throughput at 24k slots).
+        prefetch_windows = "bitcast" if k_cand >= 8192 else False
+    if prefetch_windows and per > 1 and (C * T) % per == 0:
+        bitsz = 8 * itemsize
+        n_w = WLp // per + 1
+        # signed align-down: valid positions always resolve to in-range
+        # words; out-of-window slots are masked by `valid` downstream
+        offp = base & (per - 1)
+        log2_per = per.bit_length() - 1
+        widx = (base >> log2_per)[:, None] + jax.lax.broadcasted_iota(
+            jnp.int32, (1, n_w), 1
+        )
+        widx_cl = jnp.clip(widx, 0, (C * T) // per - 1)
+        if prefetch_windows == "rowgather":
+            # gather per-a-row slices of the reshaped uint8 view — no
+            # bitcast relayout; pays off iff XLA:TPU charges the gather
+            # per OFFSET rather than per element (A/B: exp_walk_ab.py)
+            win = jnp.take(
+                data.reshape((C * T) // per, per), widx_cl, axis=0
+            )  # [k_cand, n_w, per]
+            wsyms = win.astype(jnp.int32).reshape(k_cand, per * n_w)
+        else:
+            data_words = jax.lax.bitcast_convert_type(
+                data.reshape((C * T) // per, per), jnp.uint32
+            )
+            win_words = jnp.take(data_words, widx_cl, mode="clip")
+            wsyms = jnp.stack(
+                [
+                    (
+                        jax.lax.shift_right_logical(
+                            win_words, jnp.uint32(bitsz * j)
+                        ).astype(jnp.int32)
+                        & ((1 << bitsz) - 1)
+                    )
+                    for j in range(per)
+                ],
+                axis=-1,
+            ).reshape(k_cand, per * n_w)
+        wsymsT = wsyms.T  # [per*n_w, k_cand]: steps slice the major axis
+    else:  # 4-byte symbols: nothing to pack
+        wsymsT = offp = None
     # e - q + 1 < rnext  <=>  e < rnext + q - 1 (rnext may be INT32_MAX:
     # clamp the sum in int64-free fashion by bounding with window end)
     keep_hi = jnp.minimum(
@@ -184,11 +253,8 @@ def _verify_kernel(
         en_c,
     )
 
-    def step(state, t):
+    def step(state, t, sym):
         pos = w0 + t
-        sym = jnp.take(
-            data_flat, jnp.clip(base + t, 0, C * T - 1), mode="clip"
-        ).astype(jnp.int32)
         raw = jnp.take(
             table_flat, state * alphabet_size + sym, mode="clip"
         ).astype(jnp.int32)
@@ -198,10 +264,33 @@ def _verify_kernel(
         return nxt, rep
 
     def body(state, t0):
+        if wsymsT is None:
+            syms = [
+                jnp.take(
+                    data_flat,
+                    jnp.clip(base + (t0 + k), 0, C * T - 1),
+                    mode="clip",
+                ).astype(jnp.int32)
+                for k in range(4)
+            ]
+        else:
+            # window symbols t0..t0+3 for every candidate: slice
+            # per + 3 prefetched rows (traced start, major axis — cheap)
+            # and resolve each candidate's word-alignment offset with a
+            # static (per-1)-way select
+            blk = jax.lax.dynamic_slice_in_dim(
+                wsymsT, t0, per + 3, axis=0
+            )
+            syms = []
+            for k in range(4):
+                sym = blk[k]
+                for j in range(1, per):
+                    sym = jnp.where(offp == j, blk[k + j], sym)
+                syms.append(sym)
         reps = []
         sts = []
         for k in range(4):
-            state, rep = step(state, t0 + k)
+            state, rep = step(state, t0 + k, syms[k])
             reps.append(rep)
             sts.append(state)
         return state, (jnp.stack(reps), jnp.stack(sts))
@@ -272,6 +361,7 @@ _verify_jit = jax.jit(
         "k_cand",
         "k_ev",
         "num_groups",
+        "prefetch_windows",
     ),
 )
 
@@ -285,7 +375,7 @@ class DeviceVerifier:
     """Session-side wrapper: ships the dense table once, buckets capacities.
 
     ``verify(data, bounds, bits, total)`` dispatches with the next
-    power-of-two candidate capacity >= the probe's exact survivor total
+    bucketed candidate capacity >= the probe's exact survivor total
     (so candidate overflow cannot happen) and retries event capacity on
     the exact overflow count reported back. Returns host numpy
     (meta, packed, gcounts) — exactly two D2H transfers in the common case.
@@ -336,14 +426,14 @@ class DeviceVerifier:
                 f"{total} candidates exceed the device-verify cap "
                 f"{MAX_DEVICE_CAND}; use host verify for this batch"
             )
-        k_cand = next_pow2(total)
+        k_cand = next_cap(total)
         k_ev = k_cand
         meta_d, packed_d, gc_d = self._dispatch(
             data, bounds, bits, k_cand, k_ev
         )
         meta = np.asarray(meta_d)
         if meta[3] & 2:  # event overflow: retry with the exact need
-            k_ev = next_pow2(int(meta[0]))
+            k_ev = next_cap(int(meta[0]))
             meta_d, packed_d, gc_d = self._dispatch(
                 data, bounds, bits, k_cand, k_ev
             )

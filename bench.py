@@ -156,7 +156,7 @@ def joint_metrics(jax, jnp, table, C, B0, rng) -> dict:
     )
     from tpu_pattern_matching.ops.verify_device import (
         _verify_kernel,
-        next_pow2,
+        next_cap,
     )
     from tpu_pattern_matching.runtime.verify import Verifier
     from tpu_pattern_matching.utils.common import pad_halo
@@ -200,7 +200,7 @@ def joint_metrics(jax, jnp, table, C, B0, rng) -> dict:
                                interpret=interpret)
         survivors = int(np.asarray(meta)[0])
         bits_np = np.asarray(bits)
-        k_cand = next_pow2(max(survivors, 1))
+        k_cand = next_cap(max(survivors, 1))
 
         @functools.partial(jax.jit, static_argnames=("K",))
         def joint(data, bounds, *, K, k_cand=k_cand):

@@ -88,6 +88,18 @@ def build_argparser() -> argparse.ArgumentParser:
         "replicates and survivor totals psum-reduce",
     )
     ap.add_argument(
+        "--pat-shards",
+        dest="pat_shards",
+        type=int,
+        default=1,
+        metavar="S",
+        help="partition the pattern set into S balanced shards, each "
+        "with its own smaller bloom filter (the 300k+-pattern capacity "
+        "axis); with --mesh the devices form a (pat, data) grid, "
+        "otherwise the S probes run in one jit on one device. Bloom "
+        "engine only",
+    )
+    ap.add_argument(
         "--coordinator",
         default=None,
         metavar="HOST:PORT",
@@ -281,9 +293,19 @@ def main(argv: list[str] | None = None) -> int:
 
     bloom_table = None
     if args.load_bloom:
-        from tpu_pattern_matching.ops.bloom import BloomFilterTable
+        import numpy as _np
 
-        bloom_table = BloomFilterTable.load(args.load_bloom)
+        # sniff the dump flavor: sharded filters load as ShardedBloom
+        with _np.load(args.load_bloom) as _z:
+            is_sharded = "pshard_words" in _z
+        if is_sharded:
+            from tpu_pattern_matching.parallel.pshard import ShardedBloom
+
+            bloom_table = ShardedBloom.load(args.load_bloom)
+        else:
+            from tpu_pattern_matching.ops.bloom import BloomFilterTable
+
+            bloom_table = BloomFilterTable.load(args.load_bloom)
 
     sess = MatchSession(
         table,
@@ -298,6 +320,7 @@ def main(argv: list[str] | None = None) -> int:
         # walk, ocl_context.c:18-85); a mesh supersedes single-device pinning
         device=None if mesh is not None else args.dev_pos,
         bloom_table=bloom_table,
+        pat_shards=args.pat_shards,
     )
     if args.save_bloom:
         if sess.engine == "bloom":

@@ -277,9 +277,12 @@ class BloomFilterTable:
         q_max = max(1, min(6, (lmin + 1) // 2))
 
         rng = np.random.RandomState(seed)
-        q_top = max(q_max, min(8, lmin))
-        mix1_full = tuple(int(x) | 1 for x in rng.randint(1, 2**31, size=q_top))
-        mix2_full = tuple(int(x) | 1 for x in rng.randint(1, 2**31, size=q_top))
+        # fixed-size draw (q never exceeds 8): the mix streams must not
+        # depend on lmin, so pattern SUBSETS built with the same seed get
+        # identical mixes — the sharded build (parallel/pshard.py) relies
+        # on one config probing every shard's filter
+        mix1_full = tuple(int(x) | 1 for x in rng.randint(1, 2**31, size=8))
+        mix2_full = tuple(int(x) | 1 for x in rng.randint(1, 2**31, size=8))
 
         def n_est(q, s):
             return sum(min(s, len(p) - q + 1) for p in pats)
@@ -385,6 +388,11 @@ class BloomFilterTable:
         # savings) — scan every v
         scan_all_v = objective == "joint"
 
+        if force is not None:
+            mode = "none"  # skip the search entirely: a forced config
+            # must not pay the chooser's per-(q,w) winnowing passes
+            # (minutes at 100k+ patterns — the sharded build forces
+            # S-1 of its S shard filters, parallel/pshard.py)
         if mode in ("auto", "strided"):
             for q in range(1, q_max + 1):
                 for s in range(q, min(max_stride, lmin - q + 1) + 1):

@@ -1,0 +1,511 @@
+"""Pattern-set sharding — the model-parallel axis of the matcher.
+
+The data-parallel layout (parallel/mesh.py) replicates the whole filter
+and shards input lanes; that is the reference's N-workers-per-device
+story (ocl_aho_grep.c:494-502) scaled to a mesh. This module adds the
+axis the reference never had (SURVEY.md section 2.5 names it the
+CP-analogue): partition the PATTERN SET into S shards, give each shard
+its own (much less loaded) bloom filter — and, for the all-device count
+path, its own (HBM-sized) DFA table.
+
+Why this exists — measured on v5e (BENCH_NOTES.md scale curve): a single
+filter saturates between 300k patterns (fp 1.6e-2 at v=128) and 1M
+(fp 1.25e-2 at the k=9 x v=256 capacity ceiling, probe at 78 MB/s —
+parity with the dense walk), and the 1M dense table is 10.3 GB — more
+than one chip's HBM, so device verify cannot replicate it. Sharding S
+ways divides the gram load, the fp, the probe depth, and the table per
+chip by ~S: each shard's filter is chosen for G/S grams, which rides the
+~1/G scale curve back up.
+
+Exactness is unchanged: a position is a candidate iff SOME shard's
+filter accepts its gram, so the shard survivor bitmaps OR together
+(on device — one ``[W, C]`` bitmap comes back regardless of S) and the
+existing verify stages (host native walker, device windowed walk) run
+on the union exactly as for one filter. Co-terminating patterns that
+land in different shards still merge into one event, because
+verification is against the global pattern set.
+
+Two execution shapes:
+
+- **single device** (``MatchSession(pat_shards=S)`` with no mesh): the
+  S probes run inside one jit and OR on device — a pure filter-capacity
+  feature (S small filters replace one saturated big one).
+- **2D mesh** ``("pat", "data")`` (``pat_shards=S`` with ``mesh=``):
+  shard s's filter lives only on the pat=s row of the mesh; input lanes
+  shard over "data"; each device probes (its pattern shard x its lane
+  shard); bitmaps ``all_gather`` over "pat" (a few MB over ICI) and OR,
+  so every data column holds the union bitmap. The count path walks the
+  union against each shard's OWN table (sharded over "pat") and psums
+  per-group counts over "data" — per-PATTERN counts are exact, with
+  1/S of the table per chip.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tpu_pattern_matching.ops.bloom import (
+    BloomConfig,
+    BloomFilterTable,
+    BloomHits,
+    DeviceBloom,
+    _probe_bits_jit,
+)
+
+
+def shard_pattern_ids(lengths, n_shards: int) -> list[np.ndarray]:
+    """Partition pattern ids into balanced shards: deal longest-first
+    round-robin, so gram load and max_pat_len stay even and the globally
+    shortest pattern (which constrains the common q/stride/w choice)
+    lands in the LAST shard."""
+    order = np.argsort(-np.asarray(lengths), kind="stable")
+    return [np.sort(order[s::n_shards]) for s in range(n_shards)]
+
+
+@dataclasses.dataclass
+class ShardedBloom:
+    """S per-shard filters under ONE common BloomConfig (a single kernel
+    shape probes any shard). Duck-types the BloomFilterTable surface the
+    session touches (cfg / max_pat_len / put / save)."""
+
+    words: np.ndarray  # [S, kbanks, v, 128] int32
+    cfg: BloomConfig
+    parts: list[np.ndarray]  # global pattern ids per shard
+    max_pat_len: int  # global (over all shards)
+    n_grams: list[int]  # per shard
+    fp_est: list[float]  # per shard
+
+    @property
+    def n_shards(self) -> int:
+        return len(self.parts)
+
+    @staticmethod
+    def from_table(table, n_shards: int, **kw) -> "ShardedBloom":
+        return ShardedBloom.build(
+            [p.symbols for p in table.patterns],
+            n_shards,
+            fold_case=getattr(table, "nocase", False),
+            **kw,
+        )
+
+    @staticmethod
+    def build(
+        patterns,
+        n_shards: int,
+        *,
+        fold_case: bool = False,
+        **build_opts,
+    ) -> "ShardedBloom":
+        """Partition + choose ONE config + build S filters.
+
+        The chooser runs once, on the shard holding the globally shortest
+        pattern (its length constraints bind every legal config; shards
+        are gram-balanced, so its load is representative — and the
+        pipelined objective is scale-invariant in S: total probe and
+        verify cost both multiply by S, so the per-shard optimum IS the
+        system optimum). The other shards build with ``force=`` pinning
+        the chosen (mode, q, stride/w, k, v); the shared seed makes the
+        hash mixes identical, which the build asserts.
+        """
+        pats = [list(p) for p in patterns]
+        if n_shards < 1:
+            raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+        if n_shards > len(pats):
+            raise ValueError(
+                f"{n_shards} shards for {len(pats)} patterns; "
+                f"shards must be non-empty"
+            )
+        parts = shard_pattern_ids([len(p) for p in pats], n_shards)
+        # the chooser shard: longest-first dealing puts the globally
+        # shortest pattern (dealt last) in shard (N-1) mod S — its length
+        # constraints bind every legal (q, stride/w) choice
+        chooser = (len(pats) - 1) % n_shards
+        first = BloomFilterTable.build(
+            [pats[i] for i in parts[chooser]],
+            fold_case=fold_case,
+            **build_opts,
+        )
+        cfg = first.cfg
+        force = (
+            ("sampled", cfg.q, cfg.w, cfg.kbanks, cfg.v)
+            if cfg.sampled
+            else ("strided", cfg.q, cfg.stride, cfg.kbanks, cfg.v)
+        )
+        shards: list[BloomFilterTable] = [None] * n_shards  # type: ignore
+        shards[chooser] = first
+        for s in range(n_shards):
+            if s == chooser:
+                continue
+            shards[s] = BloomFilterTable.build(
+                [pats[i] for i in parts[s]],
+                fold_case=fold_case,
+                force=force,
+                **build_opts,
+            )
+            if shards[s].cfg != cfg:  # same seed -> same mixes; verify
+                raise AssertionError(
+                    f"shard {s} config diverged: {shards[s].cfg} != {cfg}"
+                )
+        return ShardedBloom(
+            words=np.stack([sh.words for sh in shards]),
+            cfg=cfg,
+            parts=parts,
+            max_pat_len=max(len(p) for p in pats),
+            n_grams=[sh.n_grams for sh in shards],
+            fp_est=[sh.fp_est for sh in shards],
+        )
+
+    def put(self, sharding=None) -> "DeviceShardedBloom":
+        put = (
+            (lambda x: jax.device_put(x, sharding))
+            if sharding is not None
+            else jax.device_put
+        )
+        return DeviceShardedBloom(
+            words=put(self.words), cfg=self.cfg, max_pat_len=self.max_pat_len
+        )
+
+    # -- serialization (same compiled-filter dump family as the flat
+    # filter: plain arrays only, no pickle) --------------------------------
+
+    def save(self, path: str) -> None:
+        plen = np.asarray([len(p) for p in self.parts], np.int64)
+        np.savez_compressed(
+            path,
+            pshard_words=self.words,
+            cfg=np.array(
+                [self.cfg.q, self.cfg.stride, self.cfg.kbanks, self.cfg.v,
+                 int(self.cfg.fold_case), self.cfg.gt, self.cfg.ct,
+                 int(self.cfg.blockwise), int(self.cfg.sampled),
+                 self.cfg.w],
+                dtype=np.int64,
+            ),
+            mix1=np.asarray(self.cfg.mix1, np.int64),
+            mix2=np.asarray(self.cfg.mix2, np.int64),
+            max_pat_len=np.int64(self.max_pat_len),
+            part_lens=plen,
+            part_ids=np.concatenate(
+                [np.asarray(p, np.int64) for p in self.parts]
+            ),
+            n_grams=np.asarray(self.n_grams, np.int64),
+            fp_est=np.asarray(self.fp_est, np.float64),
+        )
+
+    @staticmethod
+    def load(path: str) -> "ShardedBloom":
+        z = np.load(path)
+        if "pshard_words" not in z:
+            raise ValueError(
+                f"{path} is a flat filter dump, not a sharded one "
+                f"(load with BloomFilterTable.load)"
+            )
+        c = z["cfg"]
+        cfg = BloomConfig(
+            q=int(c[0]), stride=int(c[1]), kbanks=int(c[2]), v=int(c[3]),
+            mix1=tuple(int(x) for x in z["mix1"]),
+            mix2=tuple(int(x) for x in z["mix2"]),
+            fold_case=bool(c[4]), gt=int(c[5]), ct=int(c[6]),
+            blockwise=bool(c[7]), sampled=bool(c[8]), w=int(c[9]),
+        )
+        plen = z["part_lens"]
+        flat = z["part_ids"]
+        parts, off = [], 0
+        for n in plen:
+            parts.append(flat[off : off + int(n)].copy())
+            off += int(n)
+        return ShardedBloom(
+            words=z["pshard_words"],
+            cfg=cfg,
+            parts=parts,
+            max_pat_len=int(z["max_pat_len"]),
+            n_grams=[int(x) for x in z["n_grams"]],
+            fp_est=[float(x) for x in z["fp_est"]],
+        )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "n_shards", "interpret")
+)
+def _sharded_hits_jit(data, bounds, words, *, cfg, n_shards, interpret):
+    """S probes + on-device OR: lane-major data in, ONE union bitmap out.
+
+    The pad/transpose of the batch happens once (shared by all shard
+    probes); each shard's pallas probe produces its own [W, C] bitmap and
+    the maps OR — a position is a candidate iff some shard accepts it.
+    ``total`` is the popcount of the union: the exact candidate count the
+    decode stage will walk (duplicates across shards never exist)."""
+    C, T = data.shape
+    tt = cfg.tile_rows
+    Tp = ((T + tt - 1) // tt) * tt
+    Cp = ((C + 127) // 128) * 128
+    data_tm = jax.lax.optimization_barrier(
+        jnp.pad(data, ((0, Cp - C), (0, Tp - T))).T
+    )
+    bounds = jnp.pad(bounds, ((0, 0), (0, Cp - C)))
+    bits = None
+    for s in range(n_shards):
+        b = _probe_bits_jit(
+            data_tm, bounds, words[s], cfg=cfg, interpret=interpret
+        )
+        bits = b if bits is None else (bits | b)
+    total = jnp.sum(jax.lax.population_count(bits))
+    return total.reshape(1), bits
+
+
+@dataclasses.dataclass
+class DeviceShardedBloom:
+    """Device-side sharded filter with the DeviceBloom probe surface."""
+
+    words: jax.Array  # [S, k, v, 128] int32
+    cfg: BloomConfig
+    max_pat_len: int
+
+    def hits(self, data, bounds) -> BloomHits:
+        meta, bits = _sharded_hits_jit(
+            data, bounds, self.words,
+            cfg=self.cfg,
+            n_shards=int(self.words.shape[0]),
+            interpret=DeviceBloom._interpret(),
+        )
+        return BloomHits(meta=meta, bits=bits)
+
+    def probe_total(self, data, start_t, end_t, halo: int = 0):
+        """Benchmark hook: union survivor total (forces all S probes)."""
+        meta, _ = _sharded_hits_jit(
+            data,
+            jnp.stack([start_t, end_t]),
+            self.words,
+            cfg=self.cfg,
+            n_shards=int(self.words.shape[0]),
+            interpret=DeviceBloom._interpret(),
+        )
+        return meta[0]
+
+
+# ------------------------------------------------------------- 2D mesh path
+
+
+@dataclasses.dataclass
+class Mesh2DContext:
+    """("pat", "data") mesh: shard s's filter row x lane columns."""
+
+    mesh: Mesh
+
+    @staticmethod
+    def build(devices, n_shards: int) -> "Mesh2DContext":
+        devices = np.asarray(devices)
+        if len(devices) % n_shards:
+            raise ValueError(
+                f"{len(devices)} devices do not split into {n_shards} "
+                f"pattern shards"
+            )
+        return Mesh2DContext(
+            Mesh(devices.reshape(n_shards, -1), ("pat", "data"))
+        )
+
+    @property
+    def n_shards(self) -> int:
+        return self.mesh.shape["pat"]
+
+    @property
+    def data_size(self) -> int:
+        return self.mesh.shape["data"]
+
+    @property
+    def replicated(self) -> NamedSharding:
+        return NamedSharding(self.mesh, P())
+
+    @property
+    def pat_sharded(self) -> NamedSharding:
+        return NamedSharding(self.mesh, P("pat"))
+
+    @property
+    def lane_sharded(self) -> NamedSharding:
+        # [C, T] batches: lanes over "data", replicated over "pat"
+        return NamedSharding(self.mesh, P("data"))
+
+    @property
+    def lane_sharded2d(self) -> NamedSharding:
+        return NamedSharding(self.mesh, P(None, "data"))
+
+
+def make_pattern_sharded_bloom_step(ctx: Mesh2DContext, dev: DeviceShardedBloom):
+    """The 2D-mesh probe: device (s, d) probes shard s's filter over lane
+    shard d, bitmaps all_gather over "pat" (W x C_local x 4 bytes — a few
+    MB over ICI) and OR, so the union bitmap is data-column-replicated and
+    the session's shard-aware host decode (_candidate_rows) reads each
+    column once. Survivor total psums over "data" on the union — exact,
+    duplicate-free, identical to the single-device union."""
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    from tpu_pattern_matching.ops.bloom import _hits_jit
+
+    cfg = dev.cfg
+
+    def local_step(words, data, bounds):
+        C_local = data.shape[0]
+        if C_local % 128:
+            raise ValueError(
+                f"per-device lane count {C_local} must be a multiple of "
+                f"128 (pad the batch to data_size*128 lanes)"
+            )
+        _t, bits = _hits_jit(
+            data, bounds, words[0], cfg=cfg,
+            interpret=DeviceBloom._interpret(),
+        )
+        bits_all = jax.lax.all_gather(bits, "pat")  # [S, W, C_local]
+        union = jax.lax.reduce(
+            bits_all, np.int32(0), jax.lax.bitwise_or, (0,)
+        )
+        total = jax.lax.psum(
+            jnp.sum(jax.lax.population_count(union)).reshape(1), "data"
+        )
+        return total, union
+
+    return jax.jit(
+        shard_map(
+            local_step,
+            mesh=ctx.mesh,
+            in_specs=(P("pat"), P("data"), P(None, "data")),
+            out_specs=(P(), P(None, "data")),
+            check_vma=False,  # pallas_call outputs carry no vma metadata
+        )
+    )
+
+
+# -------------------------------------------------- all-device count path
+
+
+def pad_shard_tables(tables) -> tuple[np.ndarray, np.ndarray, int, int]:
+    """Stack per-shard dense tables for shard_map: [S, states_max * A]
+    signed goto rows and [S, states_max] state->group ids, zero-padded
+    (padded states are unreachable: walks start at state 0 of each
+    shard's own automaton). Returns (table_flat, state_gid, lmax, gmax)."""
+    A = tables[0].alphabet_size
+    smax = max(t.num_states for t in tables)
+    S = len(tables)
+    flat = np.zeros((S, smax * A), np.int32)
+    gids = np.zeros((S, smax), np.int32)
+    for s, t in enumerate(tables):
+        flat[s, : t.num_states * A] = np.ascontiguousarray(
+            t.goto_signed
+        ).reshape(-1)
+        gids[s, : t.num_states] = t.state_gid.astype(np.int32)
+    lmax = max(t.max_pat_len for t in tables)
+    gmax = max(t.num_groups for t in tables)
+    return flat, gids, lmax, gmax
+
+
+def make_pattern_sharded_count_step(
+    ctx: Mesh2DContext,
+    dev: DeviceShardedBloom,
+    shard_tables,
+    *,
+    halo: int,
+    k_cand: int = 4096,
+    k_ev: int = 4096,
+):
+    """Probe + device verify + count, with the TABLE sharded over "pat".
+
+    Each device walks the UNION candidate bitmap against its own shard's
+    dense table (1/S of the global table per chip — the reason this path
+    exists: at 1M patterns the 10.3 GB global table exceeds one chip's
+    HBM, BENCH_NOTES.md 1M point) and accumulates per-group counts for
+    its shard; counts psum over "data" and stack over "pat".
+
+    Returns ``step(words, table_flat, state_gid, data, bounds) ->
+    (gcounts [S, Gmax], n_events [S], flags [S])`` — all replicated.
+    Per-shard event totals are exact; map gcounts to global per-PATTERN
+    counts with :func:`global_pattern_counts`. ``flags[s] != 0`` means
+    shard s overflowed a static capacity (bit0 candidates, bit1 event
+    slots) and its row is incomplete — rescan with larger caps. Note the
+    event-per-end semantics are per SHARD: patterns co-terminating across
+    shards count one event in each shard's total (per-pattern counts are
+    unaffected; the event-set decode path merges them instead)."""
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    from tpu_pattern_matching.ops.bloom import _hits_jit
+    from tpu_pattern_matching.ops.verify_device import _verify_kernel
+
+    cfg = dev.cfg
+    alphabet_size = shard_tables[0].alphabet_size
+    lmax = max(t.max_pat_len for t in shard_tables)
+    gmax = max(t.num_groups for t in shard_tables)
+
+    def local_step(words, table_flat, state_gid, data, bounds):
+        C_local = data.shape[0]
+        if C_local % 128:
+            raise ValueError(
+                f"per-device lane count {C_local} must be a multiple of "
+                f"128 (pad the batch to data_size*128 lanes)"
+            )
+        _t, bits = _hits_jit(
+            data, bounds, words[0], cfg=cfg,
+            interpret=DeviceBloom._interpret(),
+        )
+        bits_all = jax.lax.all_gather(bits, "pat")
+        union = jax.lax.reduce(
+            bits_all, np.int32(0), jax.lax.bitwise_or, (0,)
+        )
+        meta, _packed, gcounts = _verify_kernel(
+            table_flat[0],
+            state_gid[0],
+            data,
+            bounds,
+            union,
+            alphabet_size=alphabet_size,
+            stride=cfg.stride,
+            q=cfg.q,
+            lmax=lmax,
+            halo=halo,
+            k_cand=k_cand,
+            k_ev=k_ev,
+            num_groups=gmax,
+        )
+        return (
+            jax.lax.psum(gcounts, "data")[None],
+            jax.lax.psum(meta[0], "data")[None],
+            jax.lax.psum(meta[3], "data")[None],
+        )
+
+    return jax.jit(
+        shard_map(
+            local_step,
+            mesh=ctx.mesh,
+            in_specs=(P("pat"), P("pat"), P("pat"), P("data"), P(None, "data")),
+            out_specs=(P("pat", None), P("pat"), P("pat")),
+            check_vma=False,  # pallas_call outputs carry no vma metadata
+        )
+    )
+
+
+def global_pattern_counts(
+    sharded: ShardedBloom, shard_tables, gcounts
+) -> np.ndarray:
+    """Map per-shard per-group counts [S, Gmax] to global per-pattern
+    counts [n_patterns]: shard-local group g expands to its member
+    patterns, which translate through the shard's id map. Exact for every
+    pattern (a pattern lives in exactly one shard)."""
+    n_pats = sum(len(p) for p in sharded.parts)
+    out = np.zeros(n_pats, np.int64)
+    gcounts = np.asarray(gcounts)
+    for s, t in enumerate(shard_tables):
+        part = sharded.parts[s]
+        for g, pids in enumerate(t.groups_as_lists()):
+            c = int(gcounts[s, g])
+            if c:
+                for pid in pids:
+                    out[part[pid]] += c
+    return out

@@ -68,6 +68,7 @@ class MatchSession:
         device=None,
         bloom_table=None,
         verify: str = "auto",
+        pat_shards: int = 1,
     ):
         """``engine`` selects the device scan:
 
@@ -104,6 +105,17 @@ class MatchSession:
           (match-saturated input is the host walker's regime).
         - "auto" (default) — host (the measured single-chip winner; see
           BENCH_NOTES round 3).
+
+        ``pat_shards=S`` partitions the PATTERN SET into S balanced
+        shards, each with its own smaller bloom filter under one common
+        config (parallel/pshard.py) — the capacity axis for 300k+
+        pattern sets, where a single filter saturates (BENCH_NOTES.md
+        scale curve). Shard bitmaps OR on device, so decode and verify
+        see one union bitmap and event semantics are IDENTICAL to the
+        unsharded engine. Without a mesh the S probes run sequentially
+        in one jit; with ``mesh=`` the devices form a ("pat", "data")
+        grid and each device probes only its shard's filter over its
+        lane shard. Bloom engine only.
         """
         from tpu_pattern_matching.utils.common import pad_halo, roundup
 
@@ -112,13 +124,31 @@ class MatchSession:
 
             engine = (
                 "bloom"
-                if table.alphabet_size == 256 and on_tpu()
+                if table.alphabet_size == 256
+                and (on_tpu() or pat_shards > 1)  # pat_shards implies bloom
                 else "dense"
             )
         if engine not in ("dense", "bloom"):
             raise ValueError(f"unknown engine {engine!r}")
         if verify not in ("auto", "host", "device"):
             raise ValueError(f"unknown verify mode {verify!r}")
+        from tpu_pattern_matching.parallel.pshard import ShardedBloom
+
+        if isinstance(bloom_table, ShardedBloom):
+            if pat_shards not in (1, bloom_table.n_shards):
+                raise ValueError(
+                    f"pat_shards={pat_shards} but the precompiled filter "
+                    f"has {bloom_table.n_shards} shards"
+                )
+            pat_shards = bloom_table.n_shards
+        if pat_shards < 1:
+            raise ValueError(f"pat_shards must be >= 1, got {pat_shards}")
+        if pat_shards > 1 and engine != "bloom":
+            raise ValueError(
+                "pat_shards applies to the bloom engine (the dense walk "
+                "has no filter to shard); pass engine='bloom'"
+            )
+        self.pat_shards = pat_shards
         self.engine = engine
         self.verify_mode = (
             "host" if verify == "auto" else verify
@@ -134,6 +164,7 @@ class MatchSession:
         bounds_sharding = None
         if mesh is not None and device is not None:
             raise ValueError("pass mesh= or device=, not both")
+        self._pshard_ctx = None
         if mesh is not None:
             from tpu_pattern_matching.parallel.mesh import as_mesh_context
 
@@ -149,19 +180,42 @@ class MatchSession:
                     "lanes no single host can decode — use engine='bloom' "
                     "or the sharded count step"
                 )
-            # per-shard lanes must stay 128-aligned for the bloom bitmap's
-            # column->lane mapping (see make_sharded_bloom_step); dense
-            # lanes just need to divide evenly
-            align = (
-                ctx.num_devices * 128
-                if engine == "bloom"
-                else ctx.num_devices
-            )
-            if max_chunks % align:
-                max_chunks = roundup(max_chunks, align)
-            sharding = ctx.replicated
-            self.data_sharding = ctx.lane_sharded
-            bounds_sharding = ctx.lane_sharded2d
+            if pat_shards > 1:
+                if jax.process_count() > 1:
+                    raise NotImplementedError(
+                        "pat_shards on multi-process meshes: the union "
+                        "bitmap's pat-replication does not line up with "
+                        "per-process lane ownership yet — run pattern "
+                        "shards single-process, or data-parallel "
+                        "multi-process"
+                    )
+                from tpu_pattern_matching.parallel.pshard import (
+                    Mesh2DContext,
+                )
+
+                ctx2 = Mesh2DContext.build(
+                    ctx.mesh.devices.reshape(-1), pat_shards
+                )
+                self._pshard_ctx = ctx2
+                if max_chunks % (ctx2.data_size * 128):
+                    max_chunks = roundup(max_chunks, ctx2.data_size * 128)
+                sharding = ctx2.pat_sharded  # the stacked filter words
+                self.data_sharding = ctx2.lane_sharded
+                bounds_sharding = ctx2.lane_sharded2d
+            else:
+                # per-shard lanes must stay 128-aligned for the bloom
+                # bitmap's column->lane mapping (make_sharded_bloom_step);
+                # dense lanes just need to divide evenly
+                align = (
+                    ctx.num_devices * 128
+                    if engine == "bloom"
+                    else ctx.num_devices
+                )
+                if max_chunks % align:
+                    max_chunks = roundup(max_chunks, align)
+                sharding = ctx.replicated
+                self.data_sharding = ctx.lane_sharded
+                bounds_sharding = ctx.lane_sharded2d
         elif device is not None:
             import jax
 
@@ -180,11 +234,16 @@ class MatchSession:
             # chooser+insertion build — at 100k patterns that is ~20s of
             # winnowing/search per process (plus the AC table via
             # DfaTable.load, the full cold-start path is file reads only)
-            bft = (
-                bloom_table
-                if bloom_table is not None
-                else BloomFilterTable.from_table(table, **(bloom_opts or {}))
-            )
+            if bloom_table is not None:
+                bft = bloom_table
+            elif pat_shards > 1:
+                bft = ShardedBloom.from_table(
+                    table, pat_shards, **(bloom_opts or {})
+                )
+            else:
+                bft = BloomFilterTable.from_table(
+                    table, **(bloom_opts or {})
+                )
             self.bloom_table = bft
             self._bloom = bft.put(sharding)
             self._verifier = Verifier(
@@ -196,7 +255,15 @@ class MatchSession:
                 dense_table=table,  # fast native window walker
             )
             self.dev = None  # the big DFA table never ships to the device
-            if self._mesh_ctx is not None:
+            if self._pshard_ctx is not None:
+                from tpu_pattern_matching.parallel.pshard import (
+                    make_pattern_sharded_bloom_step,
+                )
+
+                self._bloom_step = make_pattern_sharded_bloom_step(
+                    self._pshard_ctx, self._bloom
+                )
+            elif self._mesh_ctx is not None:
                 from tpu_pattern_matching.parallel.mesh import (
                     make_sharded_bloom_step,
                 )

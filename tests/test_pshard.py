@@ -233,3 +233,14 @@ def test_pat_shards_validation():
     # pat_shards inferred from a precompiled sharded filter
     sess = MatchSession(table, engine="bloom", bloom_table=sb)
     assert sess.pat_shards == 2
+
+
+def test_pat_shards_with_device_verify():
+    # composition: the union bitmap feeds the device verify stage (which
+    # walks the GLOBAL table) — events must stay oracle-exact
+    pats = _patterns(n=12, seed=31)
+    data, _ = planted_binary(17, 1 << 13, pats, 25)
+    table = compile_patterns(pats)
+    sess = MatchSession(table, max_chunks=64, chunk_len=256,
+                        engine="bloom", pat_shards=3, verify="device")
+    assert set(sess.find(data)) == _oracle_set(pats, data)

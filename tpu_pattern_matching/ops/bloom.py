@@ -225,6 +225,14 @@ class BloomFilterTable:
         verify_ns_per_cand: float = 700.0,  # measured host verify cost
         # (~600-780 ns/candidate incl. bitmap unpack + window merge,
         # exp_verify_ab round 3; the device verify stage is ~1.1 us/slot)
+        rate_scale: float = 1.0,  # candidate-rate multiplier for verify
+        # pricing and eligibility: the sharded build (parallel/pshard.py)
+        # passes S, because the verifier walks the UNION of S shard
+        # bitmaps — per-shard fp sums over shards while probe cost per
+        # CHIP stays per-shard on a ("pat","data") mesh. Without this the
+        # probe objective's cap admits configs whose union candidate
+        # flood no verifier absorbs (measured: 8 x v16 shards at 300k =
+        # 2.4e-2 candidates/byte, BENCH_NOTES round 3)
     ) -> "BloomFilterTable":
         """Compile the filter, choosing (mode, q, stride/w, kbanks, v).
 
@@ -362,6 +370,7 @@ class BloomFilterTable:
 
         def consider(rate, cost, q, s, w, k, v):
             nonlocal best, fallback
+            rate = rate * rate_scale  # union rate over pattern shards
             if rate <= rate_cap(cost):
                 if objective == "joint":
                     probe_ns = cost * PROBE_NS_PER_UNIT

@@ -106,12 +106,13 @@ class ShardedBloom:
 
         The chooser runs once, on the shard holding the globally shortest
         pattern (its length constraints bind every legal config; shards
-        are gram-balanced, so its load is representative — and the
-        pipelined objective is scale-invariant in S: total probe and
-        verify cost both multiply by S, so the per-shard optimum IS the
-        system optimum). The other shards build with ``force=`` pinning
-        the chosen (mode, q, stride/w, k, v); the shared seed makes the
-        hash mixes identical, which the build asserts.
+        are gram-balanced, so its load is representative), with
+        ``rate_scale=S`` so verify pricing and eligibility see the UNION
+        candidate rate — per-shard fp sums over S shards while probe cost
+        per chip stays per-shard on the ("pat","data") mesh. The other
+        shards build with ``force=`` pinning the chosen
+        (mode, q, stride/w, k, v); the shared seed makes the hash mixes
+        identical, which the build asserts.
         """
         pats = [list(p) for p in patterns]
         if n_shards < 1:
@@ -126,6 +127,7 @@ class ShardedBloom:
         # shortest pattern (dealt last) in shard (N-1) mod S — its length
         # constraints bind every legal (q, stride/w) choice
         chooser = (len(pats) - 1) % n_shards
+        build_opts.setdefault("rate_scale", float(n_shards))
         first = BloomFilterTable.build(
             [pats[i] for i in parts[chooser]],
             fold_case=fold_case,

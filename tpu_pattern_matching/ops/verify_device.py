@@ -123,6 +123,10 @@ def _verify_kernel(
     k_ev: int,
     num_groups: int,
     prefetch_windows="auto",  # "bitcast" | "rowgather" | False | "auto"
+    stages: int = 5,  # bench hook (exp_verify_stages.py): truncate the
+    # pipeline after stage N (2=candidates, 3=walk, 4=events, 5=full);
+    # truncated outputs are zero-filled except the live diagnostics in
+    # ``meta`` — product callers never pass this
 ):
     C, T = data.shape
     W, Cb = bits.shape  # Cb >= C: the probe pads lanes to a 128 multiple
@@ -163,6 +167,16 @@ def _verify_kernel(
     )
     slot = jax.lax.broadcasted_iota(jnp.int32, (k_cand, 1), 0).squeeze(-1)
     cand_valid = slot < n_cand
+
+    if stages <= 2:  # bench hook: candidates only
+        z = jnp.zeros((), jnp.int32)
+        meta = jnp.stack([z, z, jnp.minimum(n_cand, INT32_MAX),
+                          cand_over.astype(jnp.int32)])
+        return (
+            meta,
+            jnp.zeros((3, k_ev), jnp.int32),
+            jnp.zeros((num_groups,), jnp.int32),
+        )
 
     # next candidate row in the same lane closes each keep interval
     # (candidates are (lane, row)-sorted: stage-1 order is lane-major, and
@@ -304,6 +318,19 @@ def _verify_kernel(
     rep_all = rep_all.reshape(WLp, k_cand)  # [t, cand]
     st_all = st_all.reshape(WLp, k_cand)
 
+    if stages <= 3:  # bench hook: walk done, no event compaction
+        meta = jnp.stack([
+            jnp.sum(rep_all.astype(jnp.int32)),
+            jnp.zeros((), jnp.int32),
+            jnp.minimum(n_cand, INT32_MAX),
+            cand_over.astype(jnp.int32),
+        ])
+        return (
+            meta,
+            jnp.zeros((3, k_ev), jnp.int32),
+            jnp.zeros((num_groups,), jnp.int32),
+        )
+
     # ---- stage 4: event compaction ((cand, t) order == (lane, end) order:
     # per-candidate keep intervals are disjoint and ascend within a lane) --
     rep_cm = rep_all.T.reshape(-1)  # [k_cand * WLp]
@@ -322,6 +349,20 @@ def _verify_kernel(
         ],
         k_ev,
     )
+
+    if stages <= 4:  # bench hook: events compacted, no group counts
+        meta = jnp.stack([
+            n_ev,
+            jnp.minimum(n_ev, k_ev),
+            jnp.minimum(n_cand, INT32_MAX),
+            cand_over.astype(jnp.int32)
+            | (ev_over.astype(jnp.int32) << 1),
+        ]).astype(jnp.int32)
+        return (
+            meta,
+            jnp.stack([ev_lane, ev_end, ev_state]),
+            jnp.zeros((num_groups,), jnp.int32),
+        )
 
     # ---- stage 5: per-group counts (psum-able) ----------------------------
     # Counted from the COMPACTED events: a state_gid gather over the full
@@ -362,6 +403,7 @@ _verify_jit = jax.jit(
         "k_ev",
         "num_groups",
         "prefetch_windows",
+        "stages",
     ),
 )
 

@@ -67,6 +67,13 @@ def test_differential(case):
         verify="device",
     ).find(data)
     assert got_v == want, f"bloom+device-verify diverged on case {seed}"
+    # pattern-sharded union: S small filters OR on device; event
+    # semantics must be indistinguishable from the single-filter engine
+    got_s = MatchSession(
+        table, max_chunks=chunks, chunk_len=clen, engine="bloom",
+        pat_shards=min(3, n),
+    ).find(data)
+    assert got_s == want, f"bloom+pat_shards diverged on case {seed}"
 
 
 def test_differential_random_geometries():

@@ -40,8 +40,12 @@ def build_workload(n_patterns: int = 10_000, pat_len: int = 12, seed: int = 42):
     return compile_patterns(pats)
 
 
-def devices_with_retry(attempts: int = 4, wait_s: float = 15.0):
-    """The tunnel's backend registration is transiently flaky."""
+def devices_with_retry(attempts: int = 10, wait_s: float = 60.0):
+    """The tunnel's backend registration is transiently flaky — and its
+    outages run minutes, not seconds (a 2026-08-17 outage returned
+    UNAVAILABLE for ~1h). Errors back off up to ``attempts * wait_s``; a
+    *hang* inside ``jax.devices()`` is not recoverable in-process and is
+    left to the caller's timeout."""
     import jax
 
     for i in range(attempts):

@@ -1,0 +1,154 @@
+"""Randomized differential campaign: every exactness path vs the oracle.
+
+The in-suite differential tests (tests/test_differential_fuzz.py) pin a
+handful of seeds so CI stays fast; this tool is the long-running burn-in
+the round reports in BENCH_NOTES.md — hundreds of randomized trials over
+pattern sets, corpora, and session geometries, asserting EXACT
+(end_offset, pattern_index) agreement between the independent Python
+oracle and every engine/verify/shard combination:
+
+- bloom, chooser-picked config, host verify   (the flagship path)
+- bloom forced strided / forced sampled       (both kernel modes)
+- bloom with device verify                    (ops/verify_device.py)
+- bloom with pattern shards                   (parallel/pshard.py union)
+- dense XLA walk                              (exact-on-device reference)
+
+Heavier arms run on a random subset of trials (the probe compile cost in
+CPU interpret mode dominates); every trial always runs at least the
+chooser-picked bloom arm and the dense arm. Any divergence prints the
+full reproduction tuple and the tool exits nonzero.
+
+Usage: python tools/fuzz_campaign.py [n_trials] [master_seed]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+# The campaign runs on CPU (interpret-mode kernels): exactness does not
+# depend on the backend and trials must not stall on TPU-tunnel health.
+# Plain JAX_PLATFORMS=cpu is not enough where a TPU PJRT plugin re-forces
+# platform selection at interpreter start (see tests/conftest.py);
+# config.update after import wins. TPM_FUZZ_TPU=1 opts into real devices.
+if not os.environ.get("TPM_FUZZ_TPU"):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+ALPHABETS = [2, 4, 16, 64, 256]
+
+
+def run_trial(trial: int, master_seed: int) -> dict:
+    from tpu_pattern_matching.core.dfa import compile_patterns
+    from tpu_pattern_matching.core.oracle import match_python
+    from tpu_pattern_matching.runtime.session import MatchSession
+
+    rng = np.random.RandomState(master_seed * 100_003 + trial)
+    asize = ALPHABETS[rng.randint(len(ALPHABETS))]
+    alphabet = np.arange(asize, dtype=np.uint8)
+    n_pats = int(rng.randint(1, 41))
+    lmin = int(rng.randint(1, 8))
+    lmax = lmin + int(rng.randint(0, 18))
+    pats: set[bytes] = set()
+    tries = 0
+    while len(pats) < n_pats and tries < 400:
+        ln = rng.randint(lmin, lmax + 1)
+        pats.add(bytes(rng.choice(alphabet, size=ln).astype(np.uint8)))
+        tries += 1
+    pat_list = sorted(pats)
+    size = int(rng.choice([512, 1024, 3000, 8192, 16384]))
+    plants = int(rng.randint(0, 60))
+    data = bytearray(rng.choice(alphabet, size=size).astype(np.uint8))
+    for _ in range(plants):
+        p = pat_list[rng.randint(len(pat_list))]
+        if len(p) <= size:
+            pos = rng.randint(0, size - len(p) + 1)
+            data[pos : pos + len(p)] = p
+    data = bytes(data)
+    chunks = int(rng.choice([2, 3, 4, 8, 16, 64]))
+    clen = int(rng.choice([8, 16, 32, 64, 128, 256]))
+
+    want = sorted(match_python(pat_list, data))
+    table = compile_patterns(pat_list)
+    repro = (
+        f"trial={trial} seed={master_seed} asize={asize} "
+        f"n={len(pat_list)} l=[{lmin},{lmax}] size={size} "
+        f"plants={plants} geom=({chunks},{clen})"
+    )
+
+    arms = {"bloom_auto": dict(engine="bloom")}
+    # both kernel modes when the set admits them (sampled needs
+    # Lmin-q+1 >= 2 windows to differ from strided; the builder guards)
+    if rng.rand() < 0.5:
+        arms["bloom_strided"] = dict(
+            engine="bloom", bloom_opts={"mode": "strided"}
+        )
+    if rng.rand() < 0.5:
+        arms["bloom_sampled"] = dict(
+            engine="bloom", bloom_opts={"mode": "sampled"}
+        )
+    if rng.rand() < 0.5:
+        arms["device_verify"] = dict(engine="bloom", verify="device")
+    if rng.rand() < 0.5 and len(pat_list) >= 2:
+        arms["pat_shards"] = dict(
+            engine="bloom",
+            pat_shards=int(rng.randint(2, min(5, len(pat_list) + 1))),
+        )
+    arms["dense"] = dict(engine="dense", max_results=256)
+
+    ran = []
+    for name, kw in arms.items():
+        got = MatchSession(
+            table, max_chunks=chunks, chunk_len=clen, **kw
+        ).find(data)
+        if got != want:
+            missing = sorted(set(want) - set(got))[:5]
+            spurious = sorted(set(got) - set(want))[:5]
+            raise AssertionError(
+                f"{name} diverged [{repro}]: {len(got)} events vs "
+                f"{len(want)} oracle; missing={missing} "
+                f"spurious={spurious}"
+            )
+        ran.append(name)
+    return {"events": len(want), "arms": ran}
+
+
+def main() -> None:
+    n_trials = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    master_seed = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    t0 = time.time()
+    arm_counts: dict[str, int] = {}
+    events = 0
+    for trial in range(n_trials):
+        res = run_trial(trial, master_seed)
+        events += res["events"]
+        for a in res["arms"]:
+            arm_counts[a] = arm_counts.get(a, 0) + 1
+        print(".", end="", flush=True)
+        if (trial + 1) % 50 == 0:
+            print(f" {trial + 1}", flush=True)
+    print()
+    print(
+        json.dumps(
+            {
+                "metric": "fuzz_campaign",
+                "trials": n_trials,
+                "master_seed": master_seed,
+                "mismatches": 0,
+                "oracle_events_total": events,
+                "arm_trials": arm_counts,
+                "wall_s": round(time.time() - t0, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

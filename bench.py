@@ -43,18 +43,37 @@ def build_workload(n_patterns: int = 10_000, pat_len: int = 12, seed: int = 42):
 def devices_with_retry(attempts: int = 10, wait_s: float = 60.0):
     """The tunnel's backend registration is transiently flaky — and its
     outages run minutes, not seconds (a 2026-08-17 outage returned
-    UNAVAILABLE for ~1h). Errors back off up to ``attempts * wait_s``; a
-    *hang* inside ``jax.devices()`` is not recoverable in-process and is
-    left to the caller's timeout."""
-    import jax
+    UNAVAILABLE / hung the client bring-up for ~1h+). A hang inside
+    ``jax.devices()`` is not recoverable in-process (the backend caches
+    the dead client), so each attempt first health-checks the tunnel in a
+    THROWAWAY subprocess under a timeout; only a healthy probe proceeds
+    to the in-process init."""
+    import subprocess
+    import sys
 
     for i in range(attempts):
         try:
-            return jax.devices()
-        except RuntimeError:
-            if i == attempts - 1:
-                raise
-            time.sleep(wait_s)
+            probe = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=max(wait_s, 120.0), capture_output=True,
+            )
+            healthy = probe.returncode == 0
+        except subprocess.TimeoutExpired:
+            healthy = False
+        if healthy:
+            import jax
+
+            try:
+                return jax.devices()
+            except RuntimeError:
+                if i == attempts - 1:
+                    raise
+        elif i == attempts - 1:
+            raise RuntimeError(
+                "TPU backend unavailable: the device-probe subprocess "
+                f"failed or hung {attempts} times over ~{attempts * wait_s:.0f}s"
+            )
+        time.sleep(wait_s)
 
 
 def main() -> None:

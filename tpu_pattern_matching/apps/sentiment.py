@@ -338,6 +338,9 @@ def main(argv=None) -> int:
     )
     ap.add_argument("--build-patterns", nargs=3, metavar=("NEG", "POS", "SCORED"))
     args = ap.parse_args(argv)
+    from tpu_pattern_matching.utils.common import honor_platform_env
+
+    honor_platform_env()  # explicit JAX_PLATFORMS wins over the TPU plugin
     if args.stdin:
         return run_stdin_mode(args)
     if not args.patterns or args.input == "-":

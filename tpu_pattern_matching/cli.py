@@ -49,7 +49,7 @@ from tpu_pattern_matching.runtime.feeder import Feeder
 from tpu_pattern_matching.runtime.files import expand_paths
 from tpu_pattern_matching.runtime.session import MatchSession
 from tpu_pattern_matching.runtime.stats import RunStats
-from tpu_pattern_matching.utils.common import now_us
+from tpu_pattern_matching.utils.common import honor_platform_env, now_us
 
 
 def build_argparser() -> argparse.ArgumentParser:
@@ -252,6 +252,8 @@ def main(argv: list[str] | None = None) -> int:
     raise_nofile_limit()
     check_args(args)
     align_parameters(args)
+    honor_platform_env()  # an explicit JAX_PLATFORMS request must win
+    # over a preloaded TPU plugin (else cpu runs hang on tunnel health)
 
     if args.num_processes > 1:
         # multi-host bring-up BEFORE any device use: all hosts join the

@@ -40,3 +40,23 @@ def pad_halo(halo: int, chunk_len: int, block: int = 8) -> int:
 def now_us() -> int:
     """Wall clock in microseconds (reference utils.c:60-68 gettime)."""
     return time.monotonic_ns() // 1000
+
+
+def honor_platform_env() -> None:
+    """Apply an explicit ``JAX_PLATFORMS`` env request via ``jax.config``.
+
+    Environments that preload a TPU PJRT plugin can re-force platform
+    selection at interpreter start, silently overriding the env var; when
+    the TPU transport is unhealthy that turns a user's ``JAX_PLATFORMS=cpu``
+    run into a hang at first backend init. ``jax.config.update`` after
+    import wins over the plugin. Call before any device use (entry points
+    do); a no-op when the env var is unset or a backend already
+    initialized with the requested platform.
+    """
+    import os
+
+    plats = os.environ.get("JAX_PLATFORMS", "").strip().lower()
+    if plats:
+        import jax
+
+        jax.config.update("jax_platforms", plats)

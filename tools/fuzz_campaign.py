@@ -120,13 +120,60 @@ def run_trial(trial: int, master_seed: int) -> dict:
     return {"events": len(want), "arms": ran}
 
 
+CHUNK = 50  # trials per process: one process's accumulated jit caches
+# exhaust the kernel mmap budget (LLVM "Cannot allocate memory" observed
+# at ~250 trials with 126 GB RAM free — vm.max_map_count, not bytes)
+
+
 def main() -> None:
     n_trials = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     master_seed = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    start = int(sys.argv[3]) if len(sys.argv) > 3 else 0
     t0 = time.time()
-    arm_counts: dict[str, int] = {}
+    if n_trials > CHUNK and not os.environ.get("TPM_FUZZ_CHILD"):
+        # fresh process per chunk; any child divergence (assertion print +
+        # nonzero exit) propagates
+        import subprocess
+
+        arm_counts: dict[str, int] = {}
+        events = wall = 0.0
+        done = 0
+        while done < n_trials:
+            k = min(CHUNK, n_trials - done)
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 str(k), str(master_seed), str(start + done)],
+                env={**os.environ, "TPM_FUZZ_CHILD": "1"},
+                capture_output=True, text=True,
+            )
+            sys.stdout.write(r.stdout)
+            sys.stdout.flush()
+            if r.returncode != 0:
+                sys.stderr.write(r.stderr[-2000:])
+                sys.exit(r.returncode)
+            res = json.loads(r.stdout.strip().splitlines()[-1])
+            events += res["oracle_events_total"]
+            wall += res["wall_s"]
+            for a, c in res["arm_trials"].items():
+                arm_counts[a] = arm_counts.get(a, 0) + c
+            done += k
+        print(
+            json.dumps(
+                {
+                    "metric": "fuzz_campaign",
+                    "trials": n_trials,
+                    "master_seed": master_seed,
+                    "mismatches": 0,
+                    "oracle_events_total": int(events),
+                    "arm_trials": arm_counts,
+                    "wall_s": round(time.time() - t0, 1),
+                }
+            )
+        )
+        return
+    arm_counts = {}
     events = 0
-    for trial in range(n_trials):
+    for trial in range(start, start + n_trials):
         res = run_trial(trial, master_seed)
         events += res["events"]
         for a in res["arms"]:

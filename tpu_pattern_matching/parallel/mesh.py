@@ -222,10 +222,16 @@ def make_sharded_bloom_count_step(
             k_ev=k_ev,
             num_groups=table.num_groups,
         )
+        # flags are a BITMASK: reduce with a bitwise OR across shards (a
+        # psum would alias bits — two shards with bit0 sum to bit1).
+        # pmax per extracted bit == OR for 0/1-valued bits.
+        flags_or = jax.lax.pmax(meta[3] & 1, axis) | jax.lax.pmax(
+            meta[3] & 2, axis
+        )
         return (
             jax.lax.psum(gcounts, axis),
             jax.lax.psum(meta[0], axis),
-            jax.lax.psum(meta[3], axis),
+            flags_or,
         )
 
     return jax.jit(

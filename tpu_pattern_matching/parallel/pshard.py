@@ -476,10 +476,16 @@ def make_pattern_sharded_count_step(
             k_ev=k_ev,
             num_groups=gmax,
         )
+        # flags are a BITMASK: reduce with a bitwise OR over "data" (a
+        # psum would alias bits — two lane shards with bit0 sum to bit1).
+        # pmax per extracted bit == OR for 0/1 values.
+        flags_or = jax.lax.pmax(meta[3] & 1, "data") | jax.lax.pmax(
+            meta[3] & 2, "data"
+        )
         return (
             jax.lax.psum(gcounts, "data")[None],
             jax.lax.psum(meta[0], "data")[None],
-            jax.lax.psum(meta[3], "data")[None],
+            flags_or[None],
         )
 
     return jax.jit(

@@ -329,3 +329,34 @@ def test_ushort_library_find_on_flow_text():
         assert got == [(3, 0), (7, 1), (8, 1)]
     finally:
         os.unlink(path)
+
+
+def test_ushort_stream_longer_than_parse_swath():
+    # Regression (round-3 fuzz find): UshortBuffer reads text in >= 4KB
+    # swaths, so one add_stream call can leave MANY surplus parsed tokens
+    # in stream.pending; scan_stream treated rd == 0 as end-of-stream and
+    # dropped every batch after the surplus-only call — all events past
+    # ~2 batches vanished. The stream is drained only when a NON-FULL
+    # buffer reads nothing.
+    import numpy as np
+
+    from tpu_pattern_matching.core.dfa import AhoCorasick
+    from tpu_pattern_matching.core.oracle import match_python
+    from tpu_pattern_matching.runtime.session import MatchSession
+
+    rng = np.random.RandomState(5)
+    pats = [(3, 1, 4, 1), (2, 7, 2)]
+    seq = rng.randint(0, 8, size=3000)  # ~6KB of text >> one 2x32 batch
+    seq[2900:2904] = pats[0]  # deep in the tail: lost before the fix
+    seq[2950:2953] = pats[1]
+    want = sorted(match_python(pats, seq.tolist()))
+    assert any(e >= 2900 for e, _ in want)
+    ac = AhoCorasick(alphabet_size=2048)
+    for p in pats:
+        ac.add_pattern(p)
+    table = ac.compile()
+    text = (",".join(str(int(x)) for x in seq)).encode()
+    got = MatchSession(
+        table, max_chunks=2, chunk_len=32, engine="dense", max_results=64
+    ).find(text)
+    assert got == want

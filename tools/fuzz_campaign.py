@@ -43,6 +43,8 @@ if not os.environ.get("TPM_FUZZ_TPU"):
     jax.config.update("jax_platforms", "cpu")
 
 ALPHABETS = [2, 4, 16, 64, 256]
+USHORT_ALPHABETS = [8, 64, 2048]  # token values (table width stays 2048)
+USHORT_EVERY = 3  # trials also running the ushort arm set
 
 
 def run_trial(trial: int, master_seed: int) -> dict:
@@ -117,7 +119,69 @@ def run_trial(trial: int, master_seed: int) -> dict:
                 f"spurious={spurious}"
             )
         ran.append(name)
+    if trial % USHORT_EVERY == 0:
+        ran += run_ushort_arms(rng)
     return {"events": len(want), "arms": ran}
+
+
+def run_ushort_arms(rng) -> list[str]:
+    """Ushort-alphabet arms through the PRODUCT path: a token sequence
+    serialized as comma-separated text streams through UshortBuffer's
+    incremental parser into uint16 lanes (AC_ushorts/databuf.c:154-190's
+    role), then each engine's find() must equal the oracle in token
+    offsets."""
+    from tpu_pattern_matching.core.dfa import AhoCorasick
+    from tpu_pattern_matching.core.oracle import match_python
+    from tpu_pattern_matching.runtime.session import MatchSession
+
+    asize = USHORT_ALPHABETS[rng.randint(len(USHORT_ALPHABETS))]
+    n_pats = int(rng.randint(1, 21))
+    lmin = int(rng.randint(1, 5))
+    lmax = lmin + int(rng.randint(0, 12))
+    pats: set[tuple] = set()
+    tries = 0
+    while len(pats) < n_pats and tries < 200:
+        ln = rng.randint(lmin, lmax + 1)
+        pats.add(tuple(int(x) for x in rng.randint(0, asize, size=ln)))
+        tries += 1
+    pat_list = sorted(pats)
+    n_tok = int(rng.choice([64, 300, 1200]))
+    seq = rng.randint(0, asize, size=n_tok)
+    for _ in range(int(rng.randint(0, 25))):
+        p = pat_list[rng.randint(len(pat_list))]
+        if len(p) <= n_tok:
+            pos = rng.randint(0, n_tok - len(p) + 1)
+            seq[pos : pos + len(p)] = p
+    want = sorted(match_python(pat_list, seq.tolist()))
+    ac = AhoCorasick(alphabet_size=2048)
+    for p in pat_list:
+        ac.add_pattern(p)
+    table = ac.compile()
+    text = (",".join(str(int(x)) for x in seq)).encode()
+    chunks = int(rng.choice([2, 4, 16]))
+    clen = int(rng.choice([8, 32, 128]))
+    arms = {
+        "u_dense": dict(engine="dense", max_results=256),
+        "u_bloom": dict(engine="bloom"),
+    }
+    if rng.rand() < 0.5:
+        arms["u_device_verify"] = dict(engine="bloom", verify="device")
+    ran = []
+    for name, kw in arms.items():
+        got = MatchSession(
+            table, max_chunks=chunks, chunk_len=clen, **kw
+        ).find(text)
+        if got != want:
+            missing = sorted(set(want) - set(got))[:5]
+            spurious = sorted(set(got) - set(want))[:5]
+            raise AssertionError(
+                f"{name} diverged [ushort asize={asize} n={len(pat_list)} "
+                f"l=[{lmin},{lmax}] n_tok={n_tok} geom=({chunks},{clen})]: "
+                f"{len(got)} vs {len(want)} oracle; missing={missing} "
+                f"spurious={spurious}"
+            )
+        ran.append(name)
+    return ran
 
 
 CHUNK = 50  # trials per process: one process's accumulated jit caches

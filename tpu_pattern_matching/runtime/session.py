@@ -680,7 +680,13 @@ class MatchSession:
                 code, rd, _ = buf.add_lines(fobj, stream)
             else:
                 code, rd = buf.add_stream(fobj, stream)
-            eof = rd == 0
+            # rd == 0 alone is NOT end-of-stream: a token buffer
+            # (UshortBuffer) reads text in >= 4KB swaths and can fill
+            # several batches from surplus parsed tokens without touching
+            # the file again — only a non-full buffer that read nothing
+            # has truly drained the stream (the feeder loops on the same
+            # condition, feeder.py)
+            eof = rd == 0 and code != -1
             if eof:
                 # flush held parse state (token buffers may hold a partial
                 # trailing number when the source is not seekable)

@@ -711,6 +711,12 @@ class MatchSession:
         """All (end_offset, pattern_index) events in ``data`` — the simplest
         library entry point; exact parity target vs the CPU oracle.
 
+        For ushort-alphabet tables ``data`` is comma/whitespace-separated
+        token TEXT (the flow-file format, AC_ushorts/README:27-31): it
+        streams through UshortBuffer's incremental parser and offsets are
+        in TOKEN units. Differentially fuzzed against the oracle on both
+        alphabets (tools/fuzz_campaign.py).
+
         Fails LOUD if the dense engine's per-lane result slots overflow
         (raise ``max_results`` or use the capless bloom engine) — a
         partial result from the "give me all matches" API would be the

@@ -45,6 +45,7 @@ if not os.environ.get("TPM_FUZZ_TPU"):
 ALPHABETS = [2, 4, 16, 64, 256]
 USHORT_ALPHABETS = [8, 64, 2048]  # token values (table width stays 2048)
 USHORT_EVERY = 3  # trials also running the ushort arm set
+TEXT_EVERY = 3  # trials (mod 3 == 1) also running the text-mode arm set
 
 
 def run_trial(trial: int, master_seed: int) -> dict:
@@ -121,7 +122,75 @@ def run_trial(trial: int, master_seed: int) -> dict:
         ran.append(name)
     if trial % USHORT_EVERY == 0:
         ran += run_ushort_arms(rng)
+    if trial % TEXT_EVERY == 1:
+        ran += run_text_arms(rng)
     return {"events": len(want), "arms": ran}
+
+
+def run_text_arms(rng) -> list[str]:
+    """Text (line) mode arms: matches must not span lines, long lines
+    split into halo-linked fragments, and offsets stay stream-absolute.
+    Oracle = per-line match union at absolute offsets."""
+    from tpu_pattern_matching.core.dfa import compile_patterns
+    from tpu_pattern_matching.core.oracle import match_python
+    from tpu_pattern_matching.runtime.session import MatchSession
+
+    # printable alphabet without newline so patterns cannot span lines
+    alphabet = np.frombuffer(
+        bytes(range(32, 127)) + b"\t", np.uint8
+    )
+    n_pats = int(rng.randint(1, 16))
+    lmin = int(rng.randint(1, 5))
+    lmax = lmin + int(rng.randint(0, 10))
+    pats: set[bytes] = set()
+    tries = 0
+    while len(pats) < n_pats and tries < 200:
+        ln = rng.randint(lmin, lmax + 1)
+        pats.add(bytes(rng.choice(alphabet, size=ln).astype(np.uint8)))
+        tries += 1
+    pat_list = sorted(pats)
+    n_lines = int(rng.randint(1, 30))
+    lines = []
+    for _ in range(n_lines):
+        L = int(rng.choice([0, 3, 20, 80, 400]))
+        row = bytearray(rng.choice(alphabet, size=L).astype(np.uint8))
+        for _ in range(int(rng.randint(0, 4))):
+            p = pat_list[rng.randint(len(pat_list))]
+            if len(p) <= L:
+                pos = rng.randint(0, L - len(p) + 1)
+                row[pos : pos + len(p)] = p
+        lines.append(bytes(row))
+    text = b"\n".join(lines) + b"\n"
+    want = []
+    off = 0
+    for row in lines:
+        for e, pid in match_python(pat_list, row):
+            want.append((off + e, pid))
+        off += len(row) + 1
+    want = sorted(want)
+    table = compile_patterns(pat_list)
+    chunks = int(rng.choice([2, 4, 16]))
+    clen = int(rng.choice([16, 64, 256]))
+    arms = {
+        "t_dense": dict(engine="dense", max_results=256),
+        "t_bloom": dict(engine="bloom"),
+    }
+    ran = []
+    for name, kw in arms.items():
+        got = MatchSession(
+            table, max_chunks=chunks, chunk_len=clen, **kw
+        ).find(text, text_mode=True)
+        if got != want:
+            missing = sorted(set(want) - set(got))[:5]
+            spurious = sorted(set(got) - set(want))[:5]
+            raise AssertionError(
+                f"{name} diverged [text n={len(pat_list)} l=[{lmin},{lmax}] "
+                f"lines={n_lines} geom=({chunks},{clen})]: "
+                f"{len(got)} vs {len(want)} oracle; missing={missing} "
+                f"spurious={spurious}"
+            )
+        ran.append(name)
+    return ran
 
 
 def run_ushort_arms(rng) -> list[str]:

@@ -90,6 +90,36 @@ def main(n_patterns: int = 10_000, objective: str = "probe") -> None:
         acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.int32), None, length=K)
         return acc
 
+    packed_ok = (not cfg.sampled) and cfg.stride % 4 == 0
+
+    @functools.partial(jax.jit, static_argnames=("K",))
+    def run_full_packed(data, bounds, *, K):
+        def body(acc, _):
+            b2 = bounds.at[0, 0].add(acc & 1)
+            total, _bits = _hits_jit(
+                data, b2, words, cfg=cfg, interpret=interpret, packed=True
+            )
+            return acc + total[0], None
+
+        acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.int32), None, length=K)
+        return acc
+
+    @functools.partial(jax.jit, static_argnames=("K",))
+    def run_prep_packed(data, *, K):
+        def body(acc, _):
+            d2 = data.at[0, 0].set((acc & 1).astype(jnp.uint8))
+            d32 = jax.lax.bitcast_convert_type(
+                jnp.pad(d2, ((0, Cp - C), (0, Tp - T))).reshape(
+                    Cp, Tp // 4, 4
+                ),
+                jnp.uint32,
+            )
+            tm = jax.lax.optimization_barrier(d32.T)
+            return acc + tm[0, :].astype(jnp.int32).sum(), None
+
+        acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.int32), None, length=K)
+        return acc
+
     @functools.partial(jax.jit, static_argnames=("K",))
     def run_probe_tm(data_tm, bounds_p, *, K):
         def body(acc, _):
@@ -119,6 +149,9 @@ def main(n_patterns: int = 10_000, objective: str = "probe") -> None:
         "probe_tm": lambda K: int(run_probe_tm(data_tm, bounds_p, K=K)),
         "prep": lambda K: int(run_prep(data, K=K)),
     }
+    if packed_ok:
+        arms["full_packed"] = lambda K: int(run_full_packed(data, bounds, K=K))
+        arms["prep_packed"] = lambda K: int(run_prep_packed(data, K=K))
     K_LO, K_HI = 1, 9
     for run in arms.values():
         run(K_LO)

@@ -142,3 +142,39 @@ def test_lane_tile_remainder_geometry():
     total, bits = _hits_jit(data, bounds, words, cfg=cfg, interpret=True)
     want = np_probe_model(data, bounds, words, cfg)
     np.testing.assert_array_equal(np.asarray(bits), want)
+
+
+def test_packed_data_path_matches_byte_path():
+    # The uint32-packed probe (stride % 4 == 0: byte phase static per gram
+    # offset) must produce the identical bitmap — including fold_case,
+    # non-pow2 strides, unaligned time dims, and truncated lane spans.
+    from tpu_pattern_matching.ops.bloom import BloomFilterTable
+
+    rng = np.random.RandomState(11)
+    for s, fold in ((4, False), (8, True), (12, False)):
+        q = min(4, s)
+        pats = [
+            bytes(rng.randint(0, 256, size=q + s + 3).astype(np.uint8))
+            for _ in range(40)
+        ]
+        bft = BloomFilterTable.build(
+            pats, force=("strided", q, s, 3, 2), fold_case=fold
+        )
+        cfg = bft.cfg
+        C, T = 4, cfg.tile_rows * 2 + 7
+        data = rng.randint(0, 256, size=(C, T)).astype(np.uint8)
+        data[1, 5 : 5 + len(pats[0])] = np.frombuffer(pats[0], np.uint8)
+        bounds = np.stack(
+            [
+                np.asarray([0, 2, 0, T], np.int32),
+                np.asarray([T, T, 0, T], np.int32),
+            ]
+        )
+        t0, b0 = _hits_jit(
+            data, bounds, bft.words, cfg=cfg, interpret=True, packed=False
+        )
+        t1, b1 = _hits_jit(
+            data, bounds, bft.words, cfg=cfg, interpret=True, packed=True
+        )
+        np.testing.assert_array_equal(np.asarray(b0), np.asarray(b1))
+        assert int(t0[0]) == int(t1[0])

@@ -561,7 +561,9 @@ class BloomFilterTable:
 # --------------------------------------------------------------- the kernel
 
 
-def _make_probe_kernel(cfg: BloomConfig, ct: int, bank0: int, nbanks: int):
+def _make_probe_kernel(
+    cfg: BloomConfig, ct: int, bank0: int, nbanks: int, packed: bool = False
+):
     """Kernel body specialized for static (cfg, lane-tile width, bank group).
 
     Per tile: hash gt stride-groups x ct lanes, probe banks
@@ -576,6 +578,14 @@ def _make_probe_kernel(cfg: BloomConfig, ct: int, bank0: int, nbanks: int):
     one full-width pass (larger vector ops; Mosaic hoists the independent
     unit gathers, so the live set grows with k*v) vs one 128-lane block at
     a time (bounded live set).
+
+    ``packed``: the data tile is uint32 words of 4 little-endian symbol
+    bytes, [GT*s/4, width] (exists only for stride % 4 == 0, where gram
+    offset qi always lands at byte phase qi % 4 of word row
+    g*(s/4) + qi//4 — the byte extraction is a static shift+mask, no
+    relayout). The prep transpose then moves 4x fewer elements; measured
+    share of the per-batch prep in the probe metric:
+    benchmarks/exp_transpose_share.py.
     """
     q, s, v = cfg.q, cfg.stride, cfg.v
     GT = cfg.gt
@@ -585,6 +595,7 @@ def _make_probe_kernel(cfg: BloomConfig, ct: int, bank0: int, nbanks: int):
     # gather ops Mosaic's remote compile takes 10+ minutes; fall back to a
     # fori_loop over units beyond the budget
     unroll_units = nbanks * v * (ct // 128) <= 1024
+    assert not packed or s % 4 == 0, (packed, s)
 
     def kernel(data_ref, bounds_ref, bloom_ref, out_ref):
         from jax.experimental import pallas as pl
@@ -593,14 +604,36 @@ def _make_probe_kernel(cfg: BloomConfig, ct: int, bank0: int, nbanks: int):
 
         def probe_block(sl, width):
             """hit bits for lanes data_ref[:, sl] (width % 128 == 0)."""
-            d = data_ref[:, sl].astype(jnp.int32)  # [GT*s, width]
-            if cfg.fold_case:
-                d = jnp.where((d >= 65) & (d <= 90), d + 32, d)
-            resh = d.reshape(GT, s, width)
+            if packed:
+                # [GT*s/4, width] packed words (int32 view: shifts below
+                # mask to a byte, so sign never leaks)
+                dw = data_ref[:, sl].astype(jnp.int32)
+                resh32 = dw.reshape(GT, s // 4, width)
+
+                def sym(qi):
+                    b = (
+                        jax.lax.shift_right_logical(
+                            resh32[:, qi // 4, :], jnp.int32(8 * (qi % 4))
+                        )
+                        & 255
+                    )
+                    if cfg.fold_case:
+                        b = jnp.where((b >= 65) & (b <= 90), b + 32, b)
+                    return b
+
+            else:
+                d = data_ref[:, sl].astype(jnp.int32)  # [GT*s, width]
+                if cfg.fold_case:
+                    d = jnp.where((d >= 65) & (d <= 90), d + 32, d)
+                resh = d.reshape(GT, s, width)
+
+                def sym(qi):
+                    return resh[:, qi, :]
+
             m1 = jnp.zeros((GT, width), jnp.int32)
             m2 = jnp.zeros((GT, width), jnp.int32)
             for qi in range(q):
-                bi = resh[:, qi, :]
+                bi = sym(qi)
                 m1 = m1 + bi * jnp.int32(cfg.mix1[qi])
                 m2 = m2 + bi * jnp.int32(cfg.mix2[qi])
             hit = jnp.ones((GT, width), jnp.bool_)
@@ -824,11 +857,19 @@ def _probe_bits_jit(data_tm, bounds, words, *, cfg: BloomConfig, interpret):
     """bits[w, c] bit b set <=> the gram starting at row ((w*32+b)*stride)
     of lane c survives all banks and the lane mask. data_tm: [T, C]
     time-major, T % tile_rows == 0, C % 128 == 0. Bank groups of at most
-    MAX_BANKS_PER_KERNEL run as separate kernels whose bitmaps AND."""
+    MAX_BANKS_PER_KERNEL run as separate kernels whose bitmaps AND.
+
+    A 32-bit ``data_tm`` is the PACKED layout: each row holds 4
+    little-endian symbol bytes, shape [T/4, C] (strided mode with
+    stride % 4 == 0 only — _hits_jit packs when eligible)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    packed = data_tm.dtype.itemsize == 4
     T, C = data_tm.shape
+    if packed:
+        assert not cfg.sampled and cfg.stride % 4 == 0, cfg
+        T = T * 4  # symbol rows
     GT = cfg.gt
     tt = cfg.tile_rows
     assert T % tt == 0, (T, tt)
@@ -867,13 +908,14 @@ def _probe_bits_jit(data_tm, bounds, words, *, cfg: BloomConfig, interpret):
     else:
         operands = (data_tm, bounds)
         in_specs = [
-            pl.BlockSpec((tt, ct), lambda i, j: (i, j),
+            pl.BlockSpec((tt // 4 if packed else tt, ct),
+                         lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, ct), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ]
-        make_kernel = _make_probe_kernel
+        make_kernel = functools.partial(_make_probe_kernel, packed=packed)
     bits = None
     for bank0 in range(0, cfg.kbanks, MAX_BANKS_PER_KERNEL):
         nbanks = min(MAX_BANKS_PER_KERNEL, cfg.kbanks - bank0)
@@ -914,16 +956,42 @@ class BloomHits:
     bounds: jax.Array | None = None  # [2, C] (device)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
-def _hits_jit(data, bounds, words, *, cfg, interpret):
-    """Fused pad + transpose + probe + popcount: lane-major data in."""
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret", "packed"))
+def _hits_jit(data, bounds, words, *, cfg, interpret, packed=None):
+    """Fused pad + transpose + probe + popcount: lane-major data in.
+
+    ``packed=None`` (auto) views eligible batches as uint32 words of 4
+    little-endian symbols before the time-major transpose, moving 4x
+    fewer elements through the relayout (the probe kernel extracts bytes
+    with static shifts — strided mode, stride % 4 == 0, byte symbols).
+    Pass False/True to force either data path (A/B:
+    benchmarks/exp_transpose_share.py)."""
     C, T = data.shape
     tt = cfg.tile_rows
     Tp = ((T + tt - 1) // tt) * tt
     Cp = ((C + 127) // 128) * 128
-    data_tm = jax.lax.optimization_barrier(
-        jnp.pad(data, ((0, Cp - C), (0, Tp - T))).T
-    )
+    if packed is None:
+        # auto policy: pending the on-chip A/B (exp_transpose_share.py)
+        # the default stays the byte path; flip to the eligibility test
+        # below once the packed prep measures faster on v5e
+        packed = False
+    if packed:
+        assert (
+            not cfg.sampled
+            and cfg.stride % 4 == 0
+            and data.dtype == jnp.uint8
+        ), (cfg, data.dtype)
+    if packed:
+        padded = jnp.pad(data, ((0, Cp - C), (0, Tp - T)))
+        d32 = jax.lax.bitcast_convert_type(
+            padded.reshape(Cp, Tp // 4, 4), jnp.uint32
+        )  # little-endian: element 0 = low byte (asserted by
+        # tests/test_verify_device.py and on silicon by test_tpu_hardware)
+        data_tm = jax.lax.optimization_barrier(d32.T)
+    else:
+        data_tm = jax.lax.optimization_barrier(
+            jnp.pad(data, ((0, Cp - C), (0, Tp - T))).T
+        )
     bounds = jnp.pad(bounds, ((0, 0), (0, Cp - C)))  # pad lanes: start==end
     bits = _probe_bits_jit(data_tm, bounds, words, cfg=cfg,
                            interpret=interpret)

@@ -956,42 +956,49 @@ class BloomHits:
     bounds: jax.Array | None = None  # [2, C] (device)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "interpret", "packed"))
-def _hits_jit(data, bounds, words, *, cfg, interpret, packed=None):
-    """Fused pad + transpose + probe + popcount: lane-major data in.
+PACKED_AUTO = False  # _hits_jit's auto data-path policy: flip to True
+# once the packed prep measures faster on the chip (the A/B lives in
+# benchmarks/exp_transpose_share.py; packed correctness is unit-tested
+# either way)
 
-    ``packed=None`` (auto) views eligible batches as uint32 words of 4
-    little-endian symbols before the time-major transpose, moving 4x
-    fewer elements through the relayout (the probe kernel extracts bytes
-    with static shifts — strided mode, stride % 4 == 0, byte symbols).
-    Pass False/True to force either data path (A/B:
-    benchmarks/exp_transpose_share.py)."""
+
+def _packed_eligible(cfg, dtype) -> bool:
+    return (not cfg.sampled) and cfg.stride % 4 == 0 and dtype == jnp.uint8
+
+
+def _prep_time_major(data, cfg, packed: bool):
+    """Pad + (optionally uint32-pack) + transpose one lane-major batch.
+
+    The barrier keeps the relayout a single separate pass (fusing it into
+    the probe halves throughput — README design notes). Packed mode views
+    each 4 little-endian symbols as one uint32, moving 4x fewer elements
+    through the transpose; element order (bitcast element 0 = low byte) is
+    asserted by tests/test_verify_device.py and on silicon by
+    tests/test_tpu_hardware.py."""
     C, T = data.shape
     tt = cfg.tile_rows
     Tp = ((T + tt - 1) // tt) * tt
     Cp = ((C + 127) // 128) * 128
-    if packed is None:
-        # auto policy: pending the on-chip A/B (exp_transpose_share.py)
-        # the default stays the byte path; flip to the eligibility test
-        # below once the packed prep measures faster on v5e
-        packed = False
+    padded = jnp.pad(data, ((0, Cp - C), (0, Tp - T)))
     if packed:
-        assert (
-            not cfg.sampled
-            and cfg.stride % 4 == 0
-            and data.dtype == jnp.uint8
-        ), (cfg, data.dtype)
-    if packed:
-        padded = jnp.pad(data, ((0, Cp - C), (0, Tp - T)))
-        d32 = jax.lax.bitcast_convert_type(
+        assert _packed_eligible(cfg, data.dtype), (cfg, data.dtype)
+        padded = jax.lax.bitcast_convert_type(
             padded.reshape(Cp, Tp // 4, 4), jnp.uint32
-        )  # little-endian: element 0 = low byte (asserted by
-        # tests/test_verify_device.py and on silicon by test_tpu_hardware)
-        data_tm = jax.lax.optimization_barrier(d32.T)
-    else:
-        data_tm = jax.lax.optimization_barrier(
-            jnp.pad(data, ((0, Cp - C), (0, Tp - T))).T
         )
+    return jax.lax.optimization_barrier(padded.T), Cp
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret", "packed"))
+def _hits_jit(data, bounds, words, *, cfg, interpret, packed=None):
+    """Fused pad + transpose + probe + popcount: lane-major data in.
+
+    ``packed=None`` follows the PACKED_AUTO policy; True/False force the
+    uint32-packed / byte data path (A/B:
+    benchmarks/exp_transpose_share.py)."""
+    if packed is None:
+        packed = PACKED_AUTO and _packed_eligible(cfg, data.dtype)
+    data_tm, Cp = _prep_time_major(data, cfg, packed)
+    C = data.shape[0]
     bounds = jnp.pad(bounds, ((0, 0), (0, Cp - C)))  # pad lanes: start==end
     bits = _probe_bits_jit(data_tm, bounds, words, cfg=cfg,
                            interpret=interpret)

@@ -242,13 +242,15 @@ def _sharded_hits_jit(data, bounds, words, *, cfg, n_shards, interpret):
     the maps OR — a position is a candidate iff some shard accepts it.
     ``total`` is the popcount of the union: the exact candidate count the
     decode stage will walk (duplicates across shards never exist)."""
-    C, T = data.shape
-    tt = cfg.tile_rows
-    Tp = ((T + tt - 1) // tt) * tt
-    Cp = ((C + 127) // 128) * 128
-    data_tm = jax.lax.optimization_barrier(
-        jnp.pad(data, ((0, Cp - C), (0, Tp - T))).T
+    from tpu_pattern_matching.ops.bloom import (
+        PACKED_AUTO,
+        _packed_eligible,
+        _prep_time_major,
     )
+
+    C = data.shape[0]
+    packed = PACKED_AUTO and _packed_eligible(cfg, data.dtype)
+    data_tm, Cp = _prep_time_major(data, cfg, packed)
     bounds = jnp.pad(bounds, ((0, 0), (0, Cp - C)))
     bits = None
     for s in range(n_shards):

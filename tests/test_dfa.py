@@ -240,3 +240,37 @@ def test_save_load_preserves_nocase(tmp_path):
     p = str(tmp_path / "t.npz")
     t.save(p)
     assert DfaTable.load(p).nocase is True
+
+
+def test_group_construction_brute_force():
+    # The vectorized match-set construction (own ∪ nearest-fail-ancestor
+    # set, level-synchronous gathers + one global segment sort) against
+    # first principles: group g's pid list must be the sorted indices of
+    # every pattern that is a suffix of the group state's string, with
+    # group_rep the smallest. Small alphabets force deep suffix chains
+    # and inherited-only final states; duplicates share an end state.
+    rng = np.random.RandomState(0)
+    for trial in range(80):
+        npat = rng.randint(1, 30)
+        alpha = int(rng.choice([2, 3, 256]))
+        pats = [
+            bytes(rng.randint(0, alpha, size=rng.randint(1, 8)).astype(np.uint8))
+            for _ in range(npat)
+        ]
+        if rng.rand() < 0.3:
+            pats.append(pats[rng.randint(len(pats))])
+        t = compile_patterns(pats)
+        sy = [list(p) for p in pats]
+        for i, p in enumerate(sy):
+            s = 0
+            for c in p:
+                s = abs(int(t.goto_signed[s, c]))
+            g = t.state_gid[s]
+            assert g >= 0
+            got = t.group_pids[t.group_offsets[g]: t.group_offsets[g + 1]].tolist()
+            expect = sorted(
+                j for j, q in enumerate(sy)
+                if len(q) <= len(p) and p[len(p) - len(q):] == q
+            )
+            assert got == expect, (trial, i, got, expect)
+            assert t.group_rep[g] == expect[0]

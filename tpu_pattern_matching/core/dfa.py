@@ -273,6 +273,18 @@ class AhoCorasick:
         """
         if not self.patterns:
             raise ValueError("no patterns added")
+        import time as _time
+
+        from ..utils.debug import dprint
+
+        _t0 = _time.perf_counter()
+
+        def _stage(name: str) -> None:
+            nonlocal _t0
+            t = _time.perf_counter()
+            dprint(2, "dfa build: %-12s %.1fs", name, t - _t0)
+            _t0 = t
+
         A = self.alphabet_size
 
         # --- trie, level-vectorized ----------------------------------------
@@ -305,6 +317,7 @@ class AhoCorasick:
             ends[done] = cur[done]
         S = next_id
         fail = np.zeros(S, dtype=np.int64)
+        _stage("trie")
 
         # --- level-synchronous fail links + dense closure ------------------
         # Per BFS level: (a) fail links from one vectorized gather,
@@ -317,47 +330,96 @@ class AhoCorasick:
         # level-mate, so there is no intra-level dependency. Identical
         # result to the reference's convert_NFA_to_DFA (acsmx.c:444-486).
         goto = np.zeros((S, A), dtype=np.int32)
+        _stage("alloc")
         for src, sym, dst in levels:
             fail[dst] = goto[fail[src], sym]
             goto[src, sym] = dst
-            goto[dst] = goto[fail[dst]]
+            # np.take(mode="clip") hits NumPy's fast contiguous-row memcpy
+            # path; the default bounds-checked row gather is ~100x slower
+            # (121 us/row measured at 3M states). Indices are fail links,
+            # always < this level's ids, so clip never actually clips.
+            # dst is next_id + arange (contiguous), so goto[dst[0]:...] is
+            # a writable view — no temp + second copy.
+            np.take(
+                goto, fail[dst], axis=0, mode="clip",
+                out=goto[dst[0] : dst[0] + len(dst)],
+            )
+        _stage("closure")
 
-        # --- match sets ----------------------------------------------------
-        # has-match propagates down levels in one gather per depth
-        # (fail[dst] is always shallower, hence already final); the
-        # explicit pid-set union then walks ONLY states on a match chain.
-        own_of: dict[int, list[int]] = {}
-        for i in range(N):
-            own_of.setdefault(int(ends[i]), []).append(i)
+        # --- match sets + groups (vectorized) -------------------------------
+        # A state's match set is own(s) ∪ set(nearest fail-chain ancestor
+        # with a match); the own sets are disjoint across states (a pattern
+        # index ends at exactly one state), so set union is concatenation
+        # and sizes add. Everything propagates down levels in one gather
+        # per depth (fail[dst] is always shallower, hence already final) —
+        # no per-state Python loop (that loop was 11 of 20 build seconds
+        # at 300k patterns).
         has = np.zeros(S, dtype=bool)
         has[ends] = True
         for _src, _sym, dst in levels:
             has[dst] |= has[fail[dst]]
-        matchsets: dict[int, list[int]] = {}
+        # mnear[s]: s if it has a match set, else its nearest fail-chain
+        # ancestor that does (-1 if none).
+        mnear = np.full(S, -1, dtype=np.int64)
         for _src, _sym, dst in levels:
-            for s in dst[has[dst]].tolist():
-                own = own_of.get(s)
-                inherited = matchsets.get(int(fail[s]))
-                if inherited:
-                    matchsets[s] = sorted(set(own or ()) | set(inherited))
-                else:
-                    matchsets[s] = sorted(own or ())
+            mnear[dst] = np.where(has[dst], dst, mnear[fail[dst]])
+        # own pid lists, grouped by end state, ascending pid within state
+        own_cnt = np.bincount(ends, minlength=S).astype(np.int64)
+        own_pid = np.argsort(ends, kind="stable").astype(np.int64)
+        own_start = np.zeros(S, dtype=np.int64)
+        np.cumsum(own_cnt[:-1], out=own_start[1:])
+        # total set size per state: own + inherited (inherited source is
+        # shallower, so its total is final when this level reads it)
+        total = own_cnt.copy()
+        for _src, _sym, dst in levels:
+            m = mnear[fail[dst]]
+            total[dst] += np.where(m >= 0, total[m], 0)
+        _stage("matchsets")
 
-        # --- match groups ---------------------------------------------------
-        final_states = sorted(matchsets.keys())
+        final = np.flatnonzero(has)
+        G = len(final)
         state_gid = np.full(S, -1, dtype=np.int32)
-        group_state = np.asarray(final_states, dtype=np.int32)
-        for g, s in enumerate(final_states):
-            state_gid[s] = g
-        sizes = [len(matchsets[s]) for s in final_states]
-        group_offsets = np.zeros(len(final_states) + 1, dtype=np.int32)
-        np.cumsum(sizes, out=group_offsets[1:])
-        group_pids = np.asarray(
-            [p for s in final_states for p in matchsets[s]], dtype=np.int32
-        )
-        group_rep = np.asarray(
-            [matchsets[s][0] for s in final_states], dtype=np.int32
-        )
+        state_gid[final] = np.arange(G, dtype=np.int32)
+        group_state = final.astype(np.int32)
+        off = np.zeros(G + 1, dtype=np.int64)
+        np.cumsum(total[final], out=off[1:])
+        group_pids = np.empty(off[-1], dtype=np.int32)
+
+        def _ragged_copy(dbase: np.ndarray, cnt: np.ndarray, sbase: np.ndarray,
+                         src: np.ndarray) -> None:
+            # group_pids[dbase[j] + r] = src[sbase[j] + r] for r < cnt[j]
+            tot = int(cnt.sum())
+            if not tot:
+                return
+            ra = np.arange(tot, dtype=np.int64) - np.repeat(
+                np.cumsum(cnt) - cnt, cnt
+            )
+            group_pids[np.repeat(dbase, cnt) + ra] = src[
+                np.repeat(sbase, cnt) + ra
+            ]
+
+        # fill per level: own pids, then a block copy of the inherited
+        # state's (already materialized, shallower) full segment
+        for _src, _sym, dst in levels:
+            s = dst[has[dst]]
+            if not len(s):
+                continue
+            base = off[state_gid[s].astype(np.int64)]
+            oc = own_cnt[s]
+            _ragged_copy(base, oc, own_start[s], own_pid)
+            m = mnear[fail[s]]
+            ic = np.where(m >= 0, total[m], 0)
+            # where m is -1, ic is 0 and the placeholder index is unused
+            sbase = off[state_gid[m].astype(np.int64)]
+            _ragged_copy(base + oc, ic, sbase, group_pids)
+        # sort each group's pid list ascending (one global segment sort);
+        # group_rep is then the segment head (the smallest index — the
+        # deterministic representative)
+        seg = np.repeat(np.arange(G, dtype=np.int64), total[final])
+        group_pids = group_pids[np.lexsort((group_pids, seg))]
+        group_offsets = off.astype(np.int32)
+        group_rep = group_pids[group_offsets[:-1]].astype(np.int32)
+        _stage("groups")
 
         # --- case folding: uppercase columns alias lowercase ----------------
         if self.nocase:
@@ -369,6 +431,7 @@ class AhoCorasick:
             blk = goto[i0 : i0 + 65536]
             np.negative(blk, where=is_final[blk], out=blk)
         goto_signed = goto if S >= 2**15 else goto.astype(np.int16)
+        _stage("signed")
 
         return DfaTable(
             goto_signed=goto_signed,

@@ -149,3 +149,77 @@ def test_device_verify_fuzz_small_alphabet():
     sess = MatchSession(table, max_chunks=8, chunk_len=64,
                         engine="bloom", verify="device")
     assert sess.find(data) == oracle(pats, data)
+
+
+def test_exact_gram_refinement_active_and_erasing():
+    # The session's DeviceVerifier must carry the exact-gram table
+    # (bloom_table.gram_keys) and erase bloom-fp candidates: on random
+    # data with a weak forced filter, refined survivors (meta[4]) must be
+    # far fewer than bloom survivors (meta[2]) — and events still
+    # oracle-exact.
+    rng = np.random.RandomState(11)
+    pats = [bytes(rng.randint(0, 256, size=9).astype(np.uint8))
+            for _ in range(300)]
+    data = bytearray(rng.randint(0, 256, size=50_000).astype(np.uint8))
+    for pos in (77, 5000, 31337):
+        data[pos : pos + 9] = pats[pos % 300]
+    data = bytes(data)
+    sess = MatchSession(
+        compile_patterns(pats), max_chunks=16, chunk_len=1024,
+        engine="bloom", verify="device",
+        # k2 v1 strided: high bloom fp -> plenty for refinement to erase
+        bloom_opts={"force": ("strided", 3, 3, 2, 1)},
+    )
+    assert sess._dvf.exact_meta is not None
+    metas = []
+    orig = sess._dvf.verify
+
+    def spy(*a, **kw):
+        out = orig(*a, **kw)
+        metas.append(np.asarray(out[0]))
+        return out
+
+    sess._dvf.verify = spy
+    assert sess.find(data) == oracle(pats, data)
+    n_bloom = sum(int(m[2]) for m in metas)
+    n_exact = sum(int(m[4]) for m in metas)
+    assert n_bloom > 4 * n_exact, (n_bloom, n_exact)
+
+
+def test_refinement_equals_unrefined_pipeline():
+    # Byte-identical results with and without the exact table, across a
+    # randomized mix of planted/absent patterns (the refinement only
+    # erases candidates that cannot own a match).
+    rng = np.random.RandomState(12)
+    for trial in range(4):
+        npat = rng.randint(2, 12)
+        pats = [
+            bytes(rng.randint(0, 4, size=rng.randint(4, 9)).astype(np.uint8))
+            for _ in range(npat)
+        ]  # tiny alphabet: dense true grams + suffix overlaps
+        data = bytes(rng.randint(0, 4, size=8192).astype(np.uint8))
+        table = compile_patterns(pats)
+        s_ref = MatchSession(table, max_chunks=8, chunk_len=512,
+                             engine="bloom", verify="device")
+        s_unref = MatchSession(table, max_chunks=8, chunk_len=512,
+                               engine="bloom", verify="device")
+        s_unref._dvf.exact_meta = None  # disable refinement
+        got_r = s_ref.find(data)
+        got_u = s_unref.find(data)
+        exp = oracle(pats, data)
+        assert got_r == exp, trial
+        assert got_u == exp, trial
+
+
+def test_refinement_retry_on_small_sticky_bucket():
+    # Force the sticky refined-capacity bucket below the true survivor
+    # count: the kernel must flag (bit2) and the verifier retry with the
+    # exact need.
+    pats = [b"ab"]
+    data = b"ab" * 2000  # 2000 true matches, all true grams
+    sess = MatchSession(compile_patterns(pats), max_chunks=8,
+                        chunk_len=1024, engine="bloom", verify="device")
+    assert sess._dvf.exact_meta is not None
+    sess._dvf._k_walk = 256  # deliberately too small
+    assert sess.find(data) == oracle(pats, data)
+    assert sess._dvf._k_walk >= 1000  # sticky adapted to the batch

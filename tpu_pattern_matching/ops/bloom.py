@@ -194,6 +194,10 @@ class BloomFilterTable:
     max_pat_len: int
     n_grams: int
     fp_est: float  # expected false-positive rate per tested position
+    gram_keys: np.ndarray | None = None  # sorted uint64 packed gram keys
+    # (the EXACT inserted set, ops/exact_gram.pack_grams layout) — feeds
+    # the exact-membership refinement stage; None for q > 8 or loads of
+    # pre-refinement dumps (refinement silently unavailable)
 
     @staticmethod
     def from_table(table, **kw) -> "BloomFilterTable":
@@ -499,12 +503,19 @@ class BloomFilterTable:
             "sampled" if w else "strided", q, stride, w, k, v, n,
             float(np.prod(dens)),
         )
+        if q <= 8 and alphabet_size == 256:
+            from .exact_gram import pack_grams
+
+            gram_keys = pack_grams(grams, q)
+        else:
+            gram_keys = None
         return BloomFilterTable(
             words=words.view(np.int32),
             cfg=cfg,
             max_pat_len=lmax,
             n_grams=n,
             fp_est=float(np.prod(dens)),
+            gram_keys=gram_keys,
         )
 
     def put(self, sharding=None) -> "DeviceBloom":
@@ -534,6 +545,11 @@ class BloomFilterTable:
             max_pat_len=np.int64(self.max_pat_len),
             n_grams=np.int64(self.n_grams),
             fp_est=np.float64(self.fp_est),
+            **(
+                {"gram_keys": self.gram_keys}
+                if self.gram_keys is not None
+                else {}
+            ),
         )
 
     @staticmethod
@@ -555,6 +571,7 @@ class BloomFilterTable:
             max_pat_len=int(z["max_pat_len"]),
             n_grams=int(z["n_grams"]),
             fp_est=float(z["fp_est"]),
+            gram_keys=z["gram_keys"] if "gram_keys" in z.files else None,
         )
 
 

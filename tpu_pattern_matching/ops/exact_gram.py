@@ -1,0 +1,265 @@
+"""Exact q-gram membership on device: the bloom engine's fp eraser.
+
+The bloom probe's survivor set is (true gram occurrences) + (bloom false
+positives); every downstream exactness stage — the host window walker
+(runtime/verify.py) or the device windowed walk (ops/verify_device.py) —
+pays ~0.7 us per candidate regardless of which kind it is. On random
+input essentially ALL survivors are bloom fp (the true-gram rate is
+n_grams / 256^q), so the pipelines burn their verify budget disproving
+candidates a cheap exact check could have erased.
+
+This module stores the builder's *exact inserted gram set* (the same set
+the bloom words were built from — ops/bloom.py build()) in a linear-probe
+hash table and tests compacted candidates against it with DMAX serialized
+gathers per candidate (~13 ns each on XLA:TPU, BENCH_NOTES device facts).
+A candidate whose gram is not literally in the inserted set can never
+own a match (coverage guarantees every true occurrence contains an
+inserted gram at a probed position — MATCHING.md; erasing non-members
+only redistributes the ownership intervals among remaining candidates,
+the same argument ops/verify_device.py makes for its keep intervals), so
+refinement is exact: for q <= 4 the 32-bit key IS the gram, for
+q in 5..8 the 64-bit key is the gram — zero residual false positives.
+
+Cost: ~DMAX+q/4+1 gathers per candidate (~0.1 us) vs ~0.7 us for a
+window walk — the walk then runs only on true gram occurrences, and the
+chooser can buy shallower (faster) bloom filters because fp no longer
+reaches the expensive stage (the refine-aware objective in
+ops/bloom.py prices this).
+
+The reference has no analogue: its hot kernel is exact in-kernel
+(/root/reference/ahomatch.cl:63-74) and pays the serial DFA walk on
+every byte instead.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+_MASK32 = np.uint64(0xFFFFFFFF)
+_MIX = np.uint32(0x2C1B3C6D)  # odd avalanche constant (host == device)
+
+
+def _mix32_np(lo: np.ndarray, hi: np.ndarray, c1: np.uint32, c2: np.uint32):
+    """Host model of the device slot hash (uint32 wrap arithmetic)."""
+    h = (lo * c1 + hi * c2) & np.uint32(0xFFFFFFFF)
+    h = h ^ (h >> np.uint32(15))
+    h = (h * _MIX) & np.uint32(0xFFFFFFFF)
+    return h ^ (h >> np.uint32(13))
+
+
+def pack_grams(grams, q: int) -> np.ndarray:
+    """Gram tuples -> sorted unique uint64 keys, symbol i at bits 8i.
+
+    Byte alphabet only (the bloom engine's domain): q <= 8 symbols of
+    8 bits each fit one uint64 key, so key equality IS gram equality —
+    the exactness of the whole scheme rests on this line."""
+    if q > 8:
+        raise ValueError(f"exact gram table needs q <= 8, got {q}")
+    if not grams:
+        return np.zeros(0, np.uint64)
+    arr = np.asarray(sorted(grams), np.uint64).reshape(-1, q)
+    if arr.max() > 255:
+        raise ValueError("exact gram table is byte-alphabet only")
+    key = np.zeros(len(arr), np.uint64)
+    for i in range(q):
+        key |= arr[:, i] << np.uint64(8 * i)
+    return np.unique(key)
+
+
+@dataclasses.dataclass
+class ExactGramTable:
+    """Linear-probe table over the inserted gram keys.
+
+    ``lo``/``hi`` are [M + dmax] uint32 planes (hi is all-zero and unused
+    by the device check when q <= 4). Empty slots hold the FIRST key's
+    value — safe: a non-member probe key never equals any member value,
+    and a member never probes an empty slot (it found its own within
+    dmax by construction)."""
+
+    lo: np.ndarray  # [M + dmax] uint32
+    hi: np.ndarray  # [M + dmax] uint32
+    q: int
+    dmax: int
+    m: int  # power-of-two slot count (mask = m - 1)
+    c1: int  # per-build hash constants (reseeded until placement fits)
+    c2: int
+    n: int  # member count
+
+    @property
+    def use_hi(self) -> bool:
+        return self.q > 4
+
+
+def build_exact_table(grams, q: int, seed: int = 0) -> ExactGramTable:
+    """Build from gram tuples (packs, then places)."""
+    return table_from_keys(pack_grams(grams, q), q, seed)
+
+
+def table_from_keys(
+    keys: np.ndarray, q: int, seed: int = 0
+) -> ExactGramTable:
+    """Place every key within ``dmax`` linear-probe slots of its hash.
+
+    ``keys``: packed uint64 gram keys (pack_grams layout, e.g. the
+    persisted BloomFilterTable.gram_keys). Vectorized greedy rounds: per
+    distance d, every unplaced key bids for slot h+d; one winner per slot
+    (np.unique first-occurrence), losers re-bid at d+1. If any key is
+    left after dmax rounds, reseed the hash; after a few seeds, double
+    the table. Load factor starts at <= 0.5 so placement virtually always
+    succeeds on the first try."""
+    keys = np.unique(np.asarray(keys, np.uint64))
+    n = len(keys)
+    dmax = 4
+    m = 128
+    while m < 2 * n:
+        m *= 2
+    lo_all = (keys & _MASK32).astype(np.uint32)
+    hi_all = (keys >> np.uint64(32)).astype(np.uint32)
+    rng = np.random.RandomState(seed ^ 0xE9AC7)
+    while True:
+        for _try in range(8):
+            c1 = np.uint32(int(rng.randint(1, 2**31)) | 1)
+            c2 = np.uint32(int(rng.randint(1, 2**31)) | 1)
+            if n == 0:
+                return ExactGramTable(
+                    lo=np.zeros(m + dmax, np.uint32),
+                    hi=np.zeros(m + dmax, np.uint32),
+                    q=q, dmax=dmax, m=m, c1=int(c1), c2=int(c2), n=0,
+                )
+            h = (_mix32_np(lo_all, hi_all, c1, c2) & np.uint32(m - 1)).astype(
+                np.int64
+            )
+            slot = np.full(n, -1, np.int64)
+            taken = np.zeros(m + dmax, bool)
+            pending = np.arange(n)
+            for d in range(dmax):
+                bid = h[pending] + d
+                free = ~taken[bid]
+                cand = pending[free]
+                bid = bid[free]
+                # one winner per slot: first occurrence in sorted-key
+                # order (deterministic)
+                uniq, first = np.unique(bid, return_index=True)
+                slot[cand[first]] = uniq
+                taken[uniq] = True
+                pending = pending[~np.isin(pending, cand[first])]
+                if not len(pending):
+                    break
+            if not len(pending):
+                lo = np.full(m + dmax, lo_all[0], np.uint32)
+                hi = np.full(m + dmax, hi_all[0], np.uint32)
+                lo[slot] = lo_all
+                hi[slot] = hi_all
+                return ExactGramTable(
+                    lo=lo, hi=hi, q=q, dmax=dmax, m=m,
+                    c1=int(c1), c2=int(c2), n=n,
+                )
+        m *= 2
+
+
+def member_mask_np(table: ExactGramTable, keys: np.ndarray) -> np.ndarray:
+    """Host-side membership (tests + host-path mirrors)."""
+    lo = (keys & _MASK32).astype(np.uint32)
+    hi = (keys >> np.uint64(32)).astype(np.uint32)
+    h = (
+        _mix32_np(lo, hi, np.uint32(table.c1), np.uint32(table.c2))
+        & np.uint32(table.m - 1)
+    ).astype(np.int64)
+    ok = np.zeros(len(keys), bool)
+    for d in range(table.dmax):
+        hit = table.lo[h + d] == lo
+        if table.use_hi:
+            hit &= table.hi[h + d] == hi
+        ok |= hit
+    if table.n == 0:
+        ok[:] = False
+    return ok
+
+
+# --------------------------------------------------------------------------
+# device side
+# --------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class DeviceExact:
+    """Device-resident planes + static lookup parameters."""
+
+    lo: object  # jax [M + dmax] int32
+    hi: object | None  # jax [M + dmax] int32, None when q <= 4
+    q: int
+    dmax: int
+    m: int
+    c1: int
+    c2: int
+    n: int
+    fold_case: bool
+
+    @staticmethod
+    def put(table: ExactGramTable, fold_case: bool, sharding=None):
+        import jax
+
+        put = (
+            (lambda x: jax.device_put(x, sharding))
+            if sharding is not None
+            else jax.device_put
+        )
+        return DeviceExact(
+            lo=put(table.lo.view(np.int32)),
+            hi=put(table.hi.view(np.int32)) if table.use_hi else None,
+            q=table.q,
+            dmax=table.dmax,
+            m=table.m,
+            c1=table.c1,
+            c2=table.c2,
+            n=table.n,
+            fold_case=fold_case,
+        )
+
+
+def exact_member(dx: DeviceExact, data_flat, base, valid):
+    """Traced membership check: is data[base : base + q] an inserted gram?
+
+    ``data_flat``: [C*T] symbols (uint8/int32-safe values); ``base``: [K]
+    int32 flat gram start positions; ``valid``: [K] bool (sentinel slots
+    — compaction padding — come back False).
+
+    q per-symbol gathers + dmax (or 2*dmax for q > 4) table gathers per
+    candidate, all element-serialized on XLA:TPU (~13 ns each); every
+    other op is vectorized. Called inside larger jits (the verify kernel,
+    the refined probe)."""
+    import jax
+    import jax.numpy as jnp
+
+    K = base.shape[0]
+    size = data_flat.shape[0]
+    if dx.n == 0:
+        return jnp.zeros((K,), jnp.bool_)
+    lo = jnp.zeros((K,), jnp.int32)
+    hi = jnp.zeros((K,), jnp.int32)
+    for i in range(dx.q):
+        s = jnp.take(
+            data_flat, jnp.clip(base + i, 0, size - 1), mode="clip"
+        ).astype(jnp.int32)
+        if dx.fold_case:
+            s = jnp.where((s >= 65) & (s <= 90), s + 32, s)
+        if i < 4:
+            lo = lo | jax.lax.shift_left(s, jnp.int32(8 * i))
+        else:
+            hi = hi | jax.lax.shift_left(s, jnp.int32(8 * (i - 4)))
+    h = lo * jnp.int32(np.int32(np.uint32(dx.c1))) + hi * jnp.int32(
+        np.int32(np.uint32(dx.c2))
+    )
+    h = h ^ jax.lax.shift_right_logical(h, 15)
+    h = h * jnp.int32(np.int32(_MIX))
+    h = h ^ jax.lax.shift_right_logical(h, 13)
+    h = h & jnp.int32(dx.m - 1)
+    ok = jnp.zeros((K,), jnp.bool_)
+    for d in range(dx.dmax):
+        hit = jnp.take(dx.lo, h + d, mode="clip") == lo
+        if dx.hi is not None:
+            hit = hit & (jnp.take(dx.hi, h + d, mode="clip") == hi)
+        ok = ok | hit
+    return ok & valid

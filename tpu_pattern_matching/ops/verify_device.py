@@ -76,16 +76,18 @@ def next_cap(n: int, lo: int = 256) -> int:
 class DeviceVerifyResult:
     """Device-resident exact events of one batch.
 
-    ``meta = [n_events, reported, n_cand, flags]``; flags bit0 = candidate
-    capacity overflow (results incomplete — impossible when the capacity
-    bucket was chosen from the probe total), bit1 = event capacity overflow
-    (``packed`` truncated and ``gcounts`` incomplete; ``n_events`` stays
-    exact, so the caller retries with that capacity — the session path
-    does automatically).
+    ``meta = [n_events, reported, n_cand, flags, n_exact]``; flags bit0 =
+    candidate capacity overflow (results incomplete — impossible when the
+    capacity bucket was chosen from the probe total), bit1 = event capacity
+    overflow (``packed`` truncated and ``gcounts`` incomplete; ``n_events``
+    stays exact, so the caller retries with that capacity — the session
+    path does automatically), bit2 = refined-candidate (k_walk) overflow
+    (walk ran on a truncated candidate set; ``n_exact`` is the exact
+    post-refinement survivor count, so the caller retries with it).
     ``packed[3, K]`` = (lane, end_row, state) sorted by (lane, end_row).
     """
 
-    meta: jax.Array  # [4] int32
+    meta: jax.Array  # [5] int32
     packed: jax.Array  # [3, K] int32
     gcounts: jax.Array  # [G] int32
 
@@ -113,6 +115,8 @@ def _verify_kernel(
     data,  # [C, T] symbols (the SAME device array the probe scanned)
     bounds,  # [2, C] start_t / end_t
     bits,  # [W, C] survivor bitmap from the probe
+    exact_lo=None,  # [M + dmax] int32 exact-gram table plane (or None)
+    exact_hi=None,  # second plane, only consumed when q > 4
     *,
     alphabet_size: int,
     stride: int,
@@ -122,6 +126,11 @@ def _verify_kernel(
     k_cand: int,
     k_ev: int,
     num_groups: int,
+    exact_meta: tuple | None = None,  # (dmax, m, c1, c2, n, fold_case,
+    # use_hi) static lookup parameters for the exact-gram refinement
+    # stage (ops/exact_gram.py); None disables refinement
+    k_walk: int | None = None,  # candidate capacity AFTER refinement
+    # (the walk/event stages run at this width); defaults to k_cand
     prefetch_windows="auto",  # "bitcast" | "rowgather" | False | "auto"
     stages: int = 5,  # bench hook (exp_verify_stages.py): truncate the
     # pipeline after stage N (2=candidates, 3=walk, 4=events, 5=full);
@@ -167,20 +176,58 @@ def _verify_kernel(
     )
     slot = jax.lax.broadcasted_iota(jnp.int32, (k_cand, 1), 0).squeeze(-1)
     cand_valid = slot < n_cand
+    data_flat = data.reshape(-1)
 
     if stages <= 2:  # bench hook: candidates only
         z = jnp.zeros((), jnp.int32)
         meta = jnp.stack([z, z, jnp.minimum(n_cand, INT32_MAX),
-                          cand_over.astype(jnp.int32)])
+                          cand_over.astype(jnp.int32), z])
         return (
             meta,
             jnp.zeros((3, k_ev), jnp.int32),
             jnp.zeros((num_groups,), jnp.int32),
         )
 
+    # ---- stage 2.5: exact-gram refinement ---------------------------------
+    # Erase candidates whose gram is not LITERALLY in the inserted set
+    # (the bloom fp component) before the expensive windowed walk:
+    # ~dmax+q gathers per candidate vs ~WL table gathers for the walk.
+    # Exactness: any candidate subset containing every true-gram position
+    # preserves the ownership argument below (same reasoning as the bloom
+    # erasing positions in the first place — see module docstring and
+    # ops/exact_gram.py).
+    if exact_meta is not None:
+        from .exact_gram import DeviceExact, exact_member
+
+        dmax_x, m_x, c1_x, c2_x, n_x_members, fold_x, use_hi_x = exact_meta
+        dx = DeviceExact(
+            lo=exact_lo,
+            hi=exact_hi if use_hi_x else None,
+            q=q, dmax=dmax_x, m=m_x, c1=c1_x, c2=c2_x,
+            n=n_x_members, fold_case=fold_x,
+        )
+        base_g = jnp.minimum(lane, C - 1) * T + jnp.minimum(row, T - 1)
+        keep = exact_member(dx, data_flat, base_g, cand_valid)
+        kw = k_walk if k_walk is not None else k_cand
+        n_exact, (lane, row), refine_over = _compact_flags(
+            keep,
+            [(lane, jnp.int32(Cb)), (row, jnp.int32(INT32_MAX))],
+            kw,
+        )
+        slot = jax.lax.broadcasted_iota(jnp.int32, (kw, 1), 0).squeeze(-1)
+        cand_valid = slot < n_exact
+    else:
+        kw = k_cand
+        n_exact = n_cand
+        refine_over = jnp.zeros((), jnp.bool_)
+    base_flags = cand_over.astype(jnp.int32) | (
+        refine_over.astype(jnp.int32) << 2
+    )
+
     # next candidate row in the same lane closes each keep interval
-    # (candidates are (lane, row)-sorted: stage-1 order is lane-major, and
-    # bits within a word ascend)
+    # (candidates are (lane, row)-sorted: stage-1 order is lane-major,
+    # bits within a word ascend, and the refinement compaction is
+    # order-preserving)
     rnext = jnp.where(
         (lane[1:] == lane[:-1]),
         row[1:],
@@ -197,7 +244,6 @@ def _verify_kernel(
     en_c = jnp.where(cand_valid, bounds[1][lane_c], 0)
     w0 = row - pad_l
     base = lane_c * T + w0
-    data_flat = data.reshape(-1)
     keep_lo = jnp.maximum(row + q - 1, halo)
     # Window prefetch: the XLA:TPU gather wall is per gathered ELEMENT
     # (~13 ns whether the element is 1 or 4 bytes — BENCH_NOTES), so ONE
@@ -218,7 +264,7 @@ def _verify_kernel(
         # crosses it at ~8k candidate slots. Below, the serialized
         # per-symbol gathers are cheaper; above, the word prefetch wins
         # (+20% fused device-joint throughput at 24k slots).
-        prefetch_windows = "bitcast" if k_cand >= 8192 else False
+        prefetch_windows = "bitcast" if kw >= 8192 else False
     if prefetch_windows and per > 1 and (C * T) % per == 0:
         bitsz = 8 * itemsize
         n_w = WLp // per + 1
@@ -236,8 +282,8 @@ def _verify_kernel(
             # per OFFSET rather than per element (A/B: exp_walk_ab.py)
             win = jnp.take(
                 data.reshape((C * T) // per, per), widx_cl, axis=0
-            )  # [k_cand, n_w, per]
-            wsyms = win.astype(jnp.int32).reshape(k_cand, per * n_w)
+            )  # [kw, n_w, per]
+            wsyms = win.astype(jnp.int32).reshape(kw, per * n_w)
         else:
             data_words = jax.lax.bitcast_convert_type(
                 data.reshape((C * T) // per, per), jnp.uint32
@@ -254,8 +300,8 @@ def _verify_kernel(
                     for j in range(per)
                 ],
                 axis=-1,
-            ).reshape(k_cand, per * n_w)
-        wsymsT = wsyms.T  # [per*n_w, k_cand]: steps slice the major axis
+            ).reshape(kw, per * n_w)
+        wsymsT = wsyms.T  # [per*n_w, kw]: steps slice the major axis
     else:  # 4-byte symbols: nothing to pack
         wsymsT = offp = None
     # e - q + 1 < rnext  <=>  e < rnext + q - 1 (rnext may be INT32_MAX:
@@ -313,17 +359,18 @@ def _verify_kernel(
         jax.lax.broadcasted_iota(jnp.int32, (WLp // 4, 1), 0).squeeze(-1) * 4
     )
     _, (rep_all, st_all) = jax.lax.scan(
-        body, jnp.zeros((k_cand,), jnp.int32), ts0
+        body, jnp.zeros((kw,), jnp.int32), ts0
     )
-    rep_all = rep_all.reshape(WLp, k_cand)  # [t, cand]
-    st_all = st_all.reshape(WLp, k_cand)
+    rep_all = rep_all.reshape(WLp, kw)  # [t, cand]
+    st_all = st_all.reshape(WLp, kw)
 
     if stages <= 3:  # bench hook: walk done, no event compaction
         meta = jnp.stack([
             jnp.sum(rep_all.astype(jnp.int32)),
             jnp.zeros((), jnp.int32),
             jnp.minimum(n_cand, INT32_MAX),
-            cand_over.astype(jnp.int32),
+            base_flags,
+            jnp.minimum(n_exact, INT32_MAX),
         ])
         return (
             meta,
@@ -333,13 +380,13 @@ def _verify_kernel(
 
     # ---- stage 4: event compaction ((cand, t) order == (lane, end) order:
     # per-candidate keep intervals are disjoint and ascend within a lane) --
-    rep_cm = rep_all.T.reshape(-1)  # [k_cand * WLp]
+    rep_cm = rep_all.T.reshape(-1)  # [kw * WLp]
     st_cm = st_all.T.reshape(-1)
     t_of = jnp.broadcast_to(
-        jax.lax.broadcasted_iota(jnp.int32, (1, WLp), 1), (k_cand, WLp)
+        jax.lax.broadcasted_iota(jnp.int32, (1, WLp), 1), (kw, WLp)
     ).reshape(-1)
     e_cm = (w0[:, None] + jnp.zeros((1, WLp), jnp.int32)).reshape(-1) + t_of
-    lane_cm = jnp.broadcast_to(lane[:, None], (k_cand, WLp)).reshape(-1)
+    lane_cm = jnp.broadcast_to(lane[:, None], (kw, WLp)).reshape(-1)
     n_ev, (ev_lane, ev_end, ev_state), ev_over = _compact_flags(
         rep_cm,
         [
@@ -355,8 +402,8 @@ def _verify_kernel(
             n_ev,
             jnp.minimum(n_ev, k_ev),
             jnp.minimum(n_cand, INT32_MAX),
-            cand_over.astype(jnp.int32)
-            | (ev_over.astype(jnp.int32) << 1),
+            base_flags | (ev_over.astype(jnp.int32) << 1),
+            jnp.minimum(n_exact, INT32_MAX),
         ]).astype(jnp.int32)
         return (
             meta,
@@ -381,11 +428,10 @@ def _verify_kernel(
         .at[gidx]
         .add(live_ev.astype(jnp.int32), mode="drop")
     )
-    flags = cand_over.astype(jnp.int32) | (
-        ev_over.astype(jnp.int32) << 1
-    )
+    flags = base_flags | (ev_over.astype(jnp.int32) << 1)
     meta = jnp.stack(
-        [n_ev, reported, jnp.minimum(n_cand, INT32_MAX), flags]
+        [n_ev, reported, jnp.minimum(n_cand, INT32_MAX), flags,
+         jnp.minimum(n_exact, INT32_MAX)]
     ).astype(jnp.int32)
     packed = jnp.stack([ev_lane, ev_end, ev_state])
     return meta, packed, gcounts
@@ -402,6 +448,8 @@ _verify_jit = jax.jit(
         "k_cand",
         "k_ev",
         "num_groups",
+        "exact_meta",
+        "k_walk",
         "prefetch_windows",
         "stages",
     ),
@@ -423,7 +471,8 @@ class DeviceVerifier:
     (meta, packed, gcounts) — exactly two D2H transfers in the common case.
     """
 
-    def __init__(self, table, cfg, halo: int, sharding=None):
+    def __init__(self, table, cfg, halo: int, sharding=None,
+                 gram_keys=None):
         put = (
             (lambda x: jax.device_put(x, sharding))
             if sharding is not None
@@ -439,14 +488,37 @@ class DeviceVerifier:
         self.stride = cfg.stride
         self.q = cfg.q
         self.halo = halo
+        # exact-gram refinement (ops/exact_gram.py): erase bloom fp
+        # candidates with ~0.1 us/slot before the ~0.7 us/slot walk.
+        # ``gram_keys`` is the builder's exact inserted set
+        # (BloomFilterTable.gram_keys); None (pre-refinement filter
+        # dumps) runs the unrefined pipeline.
+        self.exact_lo = self.exact_hi = None
+        self.exact_meta = None
+        self._k_walk = 256  # sticky refined-capacity bucket
+        if gram_keys is not None and len(gram_keys):
+            from .exact_gram import table_from_keys
 
-    def _dispatch(self, data, bounds, bits, k_cand: int, k_ev: int):
+            xt = table_from_keys(gram_keys, cfg.q)
+            self.exact_lo = put(xt.lo.view(np.int32))
+            self.exact_hi = (
+                put(xt.hi.view(np.int32)) if xt.use_hi else None
+            )
+            self.exact_meta = (
+                xt.dmax, xt.m, xt.c1, xt.c2, xt.n,
+                bool(cfg.fold_case), xt.use_hi,
+            )
+
+    def _dispatch(self, data, bounds, bits, k_cand: int, k_ev: int,
+                  k_walk: int):
         return _verify_jit(
             self.table_flat,
             self.state_gid,
             data,
             bounds,
             bits,
+            self.exact_lo,
+            self.exact_hi,
             alphabet_size=self.alphabet_size,
             stride=self.stride,
             q=self.q,
@@ -455,6 +527,8 @@ class DeviceVerifier:
             k_cand=k_cand,
             k_ev=k_ev,
             num_groups=self.num_groups,
+            exact_meta=self.exact_meta,
+            k_walk=k_walk,
         )
 
     def verify(
@@ -469,17 +543,29 @@ class DeviceVerifier:
                 f"{MAX_DEVICE_CAND}; use host verify for this batch"
             )
         k_cand = next_cap(total)
-        k_ev = k_cand
+        if self.exact_meta is None:
+            k_walk = k_ev = k_cand
+        else:
+            k_walk = k_ev = min(k_cand, self._k_walk)
         meta_d, packed_d, gc_d = self._dispatch(
-            data, bounds, bits, k_cand, k_ev
+            data, bounds, bits, k_cand, k_ev, k_walk
         )
         meta = np.asarray(meta_d)
+        if meta[3] & 4:  # refine overflow: retry with the exact need
+            k_walk = k_ev = min(k_cand, next_cap(int(meta[4])))
+            meta_d, packed_d, gc_d = self._dispatch(
+                data, bounds, bits, k_cand, k_ev, k_walk
+            )
+            meta = np.asarray(meta_d)
         if meta[3] & 2:  # event overflow: retry with the exact need
             k_ev = next_cap(int(meta[0]))
             meta_d, packed_d, gc_d = self._dispatch(
-                data, bounds, bits, k_cand, k_ev
+                data, bounds, bits, k_cand, k_ev, k_walk
             )
             meta = np.asarray(meta_d)
+        if self.exact_meta is not None:
+            # adapt the sticky refined bucket to what this batch needed
+            self._k_walk = next_cap(int(meta[4]))
         if meta[3] & 1:
             raise RuntimeError(
                 "device verify candidate overflow with a bucketed "

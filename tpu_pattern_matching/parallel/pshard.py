@@ -80,6 +80,10 @@ class ShardedBloom:
     max_pat_len: int  # global (over all shards)
     n_grams: list[int]  # per shard
     fp_est: list[float]  # per shard
+    gram_keys: object = None  # UNION of per-shard exact inserted gram
+    # keys (sorted uint64, ops/exact_gram.pack_grams layout): a union
+    # bitmap candidate is true iff its gram is in SOME shard's set, so
+    # one exact table over the union refines the union bitmap
 
     @property
     def n_shards(self) -> int:
@@ -154,6 +158,12 @@ class ShardedBloom:
                 raise AssertionError(
                     f"shard {s} config diverged: {shards[s].cfg} != {cfg}"
                 )
+        if all(sh.gram_keys is not None for sh in shards):
+            gram_keys = np.unique(
+                np.concatenate([sh.gram_keys for sh in shards])
+            )
+        else:
+            gram_keys = None
         return ShardedBloom(
             words=np.stack([sh.words for sh in shards]),
             cfg=cfg,
@@ -161,6 +171,7 @@ class ShardedBloom:
             max_pat_len=max(len(p) for p in pats),
             n_grams=[sh.n_grams for sh in shards],
             fp_est=[sh.fp_est for sh in shards],
+            gram_keys=gram_keys,
         )
 
     def put(self, sharding=None) -> "DeviceShardedBloom":
@@ -197,6 +208,11 @@ class ShardedBloom:
             ),
             n_grams=np.asarray(self.n_grams, np.int64),
             fp_est=np.asarray(self.fp_est, np.float64),
+            **(
+                {"gram_keys": self.gram_keys}
+                if self.gram_keys is not None
+                else {}
+            ),
         )
 
     @staticmethod
@@ -228,6 +244,7 @@ class ShardedBloom:
             max_pat_len=int(z["max_pat_len"]),
             n_grams=[int(x) for x in z["n_grams"]],
             fp_est=[float(x) for x in z["fp_est"]],
+            gram_keys=z["gram_keys"] if "gram_keys" in z.files else None,
         )
 
 

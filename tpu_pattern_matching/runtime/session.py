@@ -289,7 +289,8 @@ class MatchSession:
             )
 
             self._dvf = DeviceVerifier(
-                table, self.bloom_table.cfg, self.halo, sharding
+                table, self.bloom_table.cfg, self.halo, sharding,
+                gram_keys=self.bloom_table.gram_keys,
             )
         self.max_chunks = max_chunks
         self.chunk_len = chunk_len

@@ -58,6 +58,7 @@ def main() -> None:
         _hits_jit,
         unpack_hit_rows,
     )
+    from tpu_pattern_matching.ops.exact_gram import table_from_keys
     from tpu_pattern_matching.ops.verify_device import (
         _verify_kernel,
         next_cap,
@@ -144,6 +145,25 @@ def main() -> None:
         k_cand = next_cap(max(survivors, 1))
         k_ev = k_cand
 
+        # refined arm: exact-gram table + post-refinement capacity from a
+        # probe dispatch (the session's own protocol)
+        xt = table_from_keys(bft.gram_keys, cfg.q)
+        exact_lo = jax.device_put(xt.lo.view(np.int32))
+        exact_hi = (jax.device_put(xt.hi.view(np.int32))
+                    if xt.use_hi else None)
+        exact_meta = (xt.dmax, xt.m, xt.c1, xt.c2, xt.n,
+                      bool(cfg.fold_case), xt.use_hi)
+        m0, _p0, _g0 = _verify_kernel(
+            table_flat, state_gid, data, bounds, bits,
+            exact_lo, exact_hi,
+            alphabet_size=table.alphabet_size, stride=cfg.stride,
+            q=cfg.q, lmax=table.max_pat_len, halo=halo,
+            k_cand=k_cand, k_ev=k_ev, num_groups=table.num_groups,
+            exact_meta=exact_meta, k_walk=k_cand,
+        )
+        n_exact = int(np.asarray(m0)[4])
+        k_walk = next_cap(max(n_exact, 1))
+
         @functools.partial(jax.jit, static_argnames=("K",))
         def device_arm(data, bounds, *, K):
             def body(acc, _):
@@ -156,6 +176,28 @@ def main() -> None:
                     q=cfg.q, lmax=table.max_pat_len, halo=halo,
                     k_cand=k_cand, k_ev=k_ev,
                     num_groups=table.num_groups,
+                )
+                return acc + total[0] + m[0] + gc[0], None
+
+            acc, _ = jax.lax.scan(
+                body, jnp.zeros((), jnp.int32), None, length=K
+            )
+            return acc
+
+        @functools.partial(jax.jit, static_argnames=("K",))
+        def refined_arm(data, bounds, *, K):
+            def body(acc, _):
+                b2 = bounds.at[0, 0].add(acc & 1)  # thread the carry
+                total, bits = _hits_jit(data, b2, words, cfg=cfg,
+                                        interpret=interpret)
+                m, _p, gc = _verify_kernel(
+                    table_flat, state_gid, data, b2, bits,
+                    exact_lo, exact_hi,
+                    alphabet_size=table.alphabet_size, stride=cfg.stride,
+                    q=cfg.q, lmax=table.max_pat_len, halo=halo,
+                    k_cand=k_cand, k_ev=k_walk,
+                    num_groups=table.num_groups,
+                    exact_meta=exact_meta, k_walk=k_walk,
                 )
                 return acc + total[0] + m[0] + gc[0], None
 
@@ -186,13 +228,17 @@ def main() -> None:
             n_ev = len(arr[0]) if arr is not None else -1
             return time.perf_counter() - t0, n_ev
 
-        best_dev = best_probe = float("inf")
+        best_dev = best_probe = best_ref = float("inf")
         best_host = float("inf")
         n_ev = 0
         for _ in range(args.rounds):  # interleave the arms
             best_dev = min(
                 best_dev,
                 timed(lambda K: int(device_arm(data, bounds, K=K))),
+            )
+            best_ref = min(
+                best_ref,
+                timed(lambda K: int(refined_arm(data, bounds, K=K))),
             )
             best_probe = min(
                 best_probe,
@@ -214,6 +260,10 @@ def main() -> None:
             "k_cand": k_cand,
             "device_joint_s": best_dev,
             "device_joint_bytes_per_s": size / best_dev,
+            "n_exact": n_exact,
+            "k_walk": k_walk,
+            "refined_joint_s": best_ref,
+            "refined_joint_bytes_per_s": size / best_ref,
             "probe_only_s": best_probe,
             "device_verify_overhead_s": best_dev - best_probe,
             "host_side_s": best_host,

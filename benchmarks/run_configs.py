@@ -372,6 +372,7 @@ def config5() -> None:
     # arm 3: bloom probe + DEVICE verify + psum — no host CPU in the loop
     cstep = make_sharded_bloom_count_step(
         ctx, sess._bloom, table, halo=sess.halo,
+        gram_keys=sess.bloom_table.gram_keys,
     )
     buf2 = sess.new_buffer()
     buf2.add_stream(io.BytesIO(corpus), StreamState(file_id=0))

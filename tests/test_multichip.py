@@ -276,3 +276,57 @@ def test_sharded_bloom_count_step_all_device(mesh_ctx):
     assert int(np.asarray(flags)) == 0
     assert int(np.asarray(n_ev)) == n_want
     np.testing.assert_array_equal(np.asarray(gcounts).astype(np.int64), want)
+
+
+def test_sharded_count_step_with_refinement(mesh_ctx):
+    # the psum count path with the exact-gram refinement stage enabled:
+    # identical gcounts, flags stay clean with a small k_walk (random
+    # words -> few true grams)
+    import io
+
+    import jax
+
+    from tpu_pattern_matching.core.dfa import compile_patterns
+    from tpu_pattern_matching.parallel.mesh import (
+        make_sharded_bloom_count_step,
+    )
+    from tpu_pattern_matching.runtime.buffers import StreamState
+    from tpu_pattern_matching.runtime.session import MatchSession
+
+    rng = np.random.RandomState(21)
+    pats = [bytes(rng.randint(97, 123, size=6).astype(np.uint8))
+            for _ in range(30)]
+    words = bytearray(rng.randint(97, 123, size=mesh_ctx.num_devices
+                                  * 128 * 64).astype(np.uint8))
+    for pos in range(50, len(words) - 6, 977):
+        words[pos : pos + 6] = pats[pos % 30]
+    words = bytes(words)
+    table = compile_patterns(pats)
+    sess = MatchSession(table, max_chunks=mesh_ctx.num_devices * 128,
+                        chunk_len=64, engine="bloom", mesh=mesh_ctx)
+    want = np.zeros(table.num_groups, np.int64)
+    for bm in sess.scan_stream(io.BytesIO(words)):
+        want += sess.event_group_counts(bm)
+
+    step = make_sharded_bloom_count_step(
+        mesh_ctx, sess._bloom, table, halo=sess.halo, k_cand=2048,
+        k_ev=2048, gram_keys=sess.bloom_table.gram_keys, k_walk=512,
+    )
+    buf = sess.new_buffer()
+    buf.add_stream(io.BytesIO(words), StreamState(file_id=0))
+    b = buf.to_batch()
+    gcounts, n_ev, flags = step(
+        sess._bloom.words,
+        jax.device_put(
+            np.ascontiguousarray(table.goto_signed).reshape(-1),
+            mesh_ctx.replicated,
+        ),
+        jax.device_put(table.state_gid.astype(np.int32),
+                       mesh_ctx.replicated),
+        jax.device_put(b.data, mesh_ctx.lane_sharded),
+        jax.device_put(np.stack([b.start_t, b.end_t]),
+                       mesh_ctx.lane_sharded2d),
+    )
+    assert int(flags) == 0
+    np.testing.assert_array_equal(np.asarray(gcounts).astype(np.int64),
+                                  want)

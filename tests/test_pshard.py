@@ -244,3 +244,57 @@ def test_pat_shards_with_device_verify():
     sess = MatchSession(table, max_chunks=64, chunk_len=256,
                         engine="bloom", pat_shards=3, verify="device")
     assert set(sess.find(data)) == _oracle_set(pats, data)
+
+
+def test_pattern_sharded_count_step_refined(devices8):
+    # per-shard exact-gram refinement on the pat-sharded count path:
+    # each device erases union candidates outside ITS shard's gram set;
+    # per-pattern counts stay oracle-exact and flags stay clean even
+    # with a small per-shard walk capacity
+    pats = [b" alpha ", b" beta ", b" gamma ", b" delta "]
+    words = (b" alpha  beta  alpha  gamma " * 30) + b" delta  beta "
+    table = compile_patterns(pats)
+    sb = ShardedBloom.from_table(table, 2)
+    assert sb.shard_gram_keys is not None
+    shard_tables = [
+        compile_patterns([pats[i] for i in part]) for part in sb.parts
+    ]
+    ctx2 = Mesh2DContext.build(devices8, 2)
+    dev = sb.put(ctx2.pat_sharded)
+    sess = MatchSession(table, max_chunks=512, chunk_len=64,
+                        engine="bloom", bloom_table=sb)
+    step = make_pattern_sharded_count_step(
+        ctx2, dev, shard_tables, halo=sess.halo, k_cand=512, k_ev=512,
+        shard_gram_keys=sb.shard_gram_keys, k_walk=256,
+    )
+    flat, gids, _lmax, _gmax = pad_shard_tables(shard_tables)
+    buf = sess.new_buffer()
+    buf.add_stream(io.BytesIO(words), StreamState(file_id=0))
+    b = buf.to_batch()
+    gcounts, n_ev, flags = step(
+        dev.words,
+        jax.device_put(flat, ctx2.pat_sharded),
+        jax.device_put(gids, ctx2.pat_sharded),
+        jax.device_put(b.data, ctx2.lane_sharded),
+        jax.device_put(np.stack([b.start_t, b.end_t]),
+                       ctx2.lane_sharded2d),
+    )
+    assert not np.asarray(flags).any()
+    pc = global_pattern_counts(sb, shard_tables, gcounts)
+    want = np.zeros(len(pats), np.int64)
+    for _off, pid in match_python(pats, words):
+        want[pid] += 1
+    np.testing.assert_array_equal(pc, want)
+
+
+def test_sharded_save_load_keeps_gram_keys(tmp_path):
+    pats = _patterns(n=10, seed=9)
+    table = compile_patterns(pats)
+    sb = ShardedBloom.from_table(table, 3)
+    path = str(tmp_path / "psb_keys.npz")
+    sb.save(path)
+    sb2 = ShardedBloom.load(path)
+    assert len(sb2.shard_gram_keys) == 3
+    for a, b in zip(sb.shard_gram_keys, sb2.shard_gram_keys):
+        np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(sb.gram_keys, sb2.gram_keys)

@@ -518,6 +518,19 @@ class BloomFilterTable:
             gram_keys=gram_keys,
         )
 
+    def expected_cand_rate(self) -> float:
+        """Modeled candidates per input byte: true-gram occurrences on
+        uniform data (the filter cannot erase a gram that IS in the set)
+        plus the measured-density bloom fp, de-amortized by the sampling
+        mode — the chooser's candidate_rate at the CHOSEN config, exposed
+        for capacity sizing (the refined-probe k_ref bucket)."""
+        cfg = self.cfg
+        true = self.n_grams / float(256.0 ** cfg.q)
+        per_pos = min(1.0, true) + self.fp_est
+        if cfg.sampled:
+            return per_pos * 2.0 / (cfg.w + 1)
+        return per_pos / cfg.stride
+
     def put(self, sharding=None) -> "DeviceBloom":
         put = (
             (lambda x: jax.device_put(x, sharding))
@@ -1026,11 +1039,83 @@ def _hits_jit(data, bounds, words, *, cfg, interpret, packed=None):
     return total.reshape(1), bits
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "interpret", "exact_meta", "k_ref", "packed"),
+)
+def _hits_refined_jit(
+    data, bounds, words, exact_lo, exact_hi, *,
+    cfg, interpret, exact_meta, k_ref, packed=None,
+):
+    """Probe + exact-gram refinement in one jit: the emitted bitmap keeps
+    only candidates whose gram is LITERALLY in the inserted set.
+
+    The bloom fp component never reaches the host: survivors compact
+    (verify_device.bitmap_to_candidates), check against the exact table
+    (ops/exact_gram.py, ~dmax+q gathers per slot), and the survivors
+    scatter back into a fresh bitmap (distinct candidates hit distinct
+    (word, bit), so scatter-add IS bitwise or). meta[0] is the refined
+    total — on clean traffic usually 0, so the host skips the bitmap
+    fetch entirely. If candidates exceed the k_ref capacity bucket the
+    ORIGINAL bitmap and total pass through unchanged (the host verifier
+    absorbs the flood — graceful, never lossy; match-saturated input is
+    its regime anyway). Erasing non-member grams preserves exactness by
+    the candidate-subset argument (ops/verify_device.py docstring)."""
+    if packed is None:
+        packed = PACKED_AUTO and _packed_eligible(cfg, data.dtype)
+    data_tm, Cp = _prep_time_major(data, cfg, packed)
+    C, T = data.shape
+    boundsp = jnp.pad(bounds, ((0, 0), (0, Cp - C)))
+    bits = _probe_bits_jit(data_tm, boundsp, words, cfg=cfg,
+                           interpret=interpret)
+    total0 = jnp.sum(jax.lax.population_count(bits))
+
+    from .exact_gram import DeviceExact, exact_member
+    from .verify_device import bitmap_to_candidates
+
+    n_cand, lane, row, over = bitmap_to_candidates(bits, cfg.stride, k_ref)
+    dmax, m, c1, c2, nmem, fold, use_hi = exact_meta
+    dx = DeviceExact(
+        lo=exact_lo, hi=exact_hi if use_hi else None, q=cfg.q,
+        dmax=dmax, m=m, c1=c1, c2=c2, n=nmem, fold_case=fold,
+    )
+    slotv = (
+        jax.lax.broadcasted_iota(jnp.int32, (k_ref, 1), 0).squeeze(-1)
+        < n_cand
+    )
+    base = jnp.minimum(lane, C - 1) * T + jnp.minimum(row, T - 1)
+    keep = exact_member(dx, data.reshape(-1), base, slotv)
+    W, Cb = bits.shape
+    bitrow = row // cfg.stride  # row = (word*32 + bit) * stride
+    w_i = jax.lax.shift_right_logical(bitrow, 5)
+    b_i = bitrow & 31
+    flat = jnp.where(keep, w_i * Cb + jnp.minimum(lane, Cb - 1), W * Cb)
+    ref = (
+        jnp.zeros((W * Cb,), jnp.int32)
+        .at[flat]
+        .add(jax.lax.shift_left(jnp.int32(1), b_i), mode="drop")
+        .reshape(W, Cb)
+    )
+    total = jnp.where(over, total0, jnp.sum(keep.astype(jnp.int32)))
+    bits_out = jnp.where(over, bits, ref)
+    from tpu_pattern_matching.utils.debug import kernel_debug
+
+    kernel_debug(
+        "bloom batch: {} survivors, {} after exact-gram refinement",
+        total0, total,
+    )  # TPM_DEBUG>=2
+    return total.reshape(1), bits_out
+
+
 @dataclasses.dataclass
 class DeviceBloom:
     words: jax.Array  # [k, v, 128] int32
     cfg: BloomConfig
     max_pat_len: int
+    exact_lo: jax.Array | None = None  # exact-gram refinement planes
+    exact_hi: jax.Array | None = None
+    exact_meta: tuple | None = None
+    k_ref: int = 0  # refinement candidate-capacity bucket
 
     @staticmethod
     def _interpret() -> bool:
@@ -1038,8 +1123,37 @@ class DeviceBloom:
         # on the CPU mesh (slow, small shapes only)
         return jax.default_backend() == "cpu"
 
+    def attach_exact(self, gram_keys, k_ref: int, sharding=None) -> None:
+        """Enable exact-gram refinement on this probe: candidates whose
+        gram is not in ``gram_keys`` (the builder's inserted set) never
+        reach the host. ``k_ref`` is the static candidate-capacity bucket
+        (size from BloomFilterTable.expected_cand_rate x batch bytes —
+        overflow passes the unrefined bitmap through, graceful)."""
+        from .exact_gram import table_from_keys
+
+        put = (
+            (lambda x: jax.device_put(x, sharding))
+            if sharding is not None
+            else jax.device_put
+        )
+        xt = table_from_keys(gram_keys, self.cfg.q)
+        self.exact_lo = put(xt.lo.view(np.int32))
+        self.exact_hi = put(xt.hi.view(np.int32)) if xt.use_hi else None
+        self.exact_meta = (
+            xt.dmax, xt.m, xt.c1, xt.c2, xt.n,
+            bool(self.cfg.fold_case), xt.use_hi,
+        )
+        self.k_ref = int(k_ref)
+
     def hits(self, data, bounds) -> BloomHits:
         """data: [C, T] lane-major symbols; bounds: [2, C] start_t/end_t."""
+        if self.exact_meta is not None:
+            meta, bits = _hits_refined_jit(
+                data, bounds, self.words, self.exact_lo, self.exact_hi,
+                cfg=self.cfg, interpret=self._interpret(),
+                exact_meta=self.exact_meta, k_ref=self.k_ref,
+            )
+            return BloomHits(meta=meta, bits=bits)
         meta, bits = _hits_jit(
             data, bounds, self.words, cfg=self.cfg,
             interpret=self._interpret(),

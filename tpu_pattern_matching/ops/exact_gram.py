@@ -97,65 +97,110 @@ def build_exact_table(grams, q: int, seed: int = 0) -> ExactGramTable:
     return table_from_keys(pack_grams(grams, q), q, seed)
 
 
+_DMAX = 4
+
+
+def _try_place(
+    keys: np.ndarray, m: int, c1: np.uint32, c2: np.uint32
+) -> np.ndarray | None:
+    """Greedy vectorized linear-probe placement: per distance d, every
+    unplaced key bids for slot h+d; one winner per slot (np.unique
+    first-occurrence), losers re-bid at d+1. Returns the slot array or
+    None when some key cannot place within _DMAX."""
+    n = len(keys)
+    lo_all = (keys & _MASK32).astype(np.uint32)
+    hi_all = (keys >> np.uint64(32)).astype(np.uint32)
+    h = (_mix32_np(lo_all, hi_all, c1, c2) & np.uint32(m - 1)).astype(
+        np.int64
+    )
+    slot = np.full(n, -1, np.int64)
+    taken = np.zeros(m + _DMAX, bool)
+    pending = np.arange(n)
+    for d in range(_DMAX):
+        bid = h[pending] + d
+        free = ~taken[bid]
+        cand = pending[free]
+        bid = bid[free]
+        uniq, first = np.unique(bid, return_index=True)
+        slot[cand[first]] = uniq
+        taken[uniq] = True
+        pending = pending[~np.isin(pending, cand[first])]
+        if not len(pending):
+            return slot
+    return None
+
+
+def _fill_table(
+    keys: np.ndarray, slot: np.ndarray, q, dmax, m, c1, c2
+) -> ExactGramTable:
+    lo_all = (keys & _MASK32).astype(np.uint32)
+    hi_all = (keys >> np.uint64(32)).astype(np.uint32)
+    # empty slots hold the FIRST key's value (safe, see class docstring)
+    lo = np.full(m + dmax, lo_all[0], np.uint32)
+    hi = np.full(m + dmax, hi_all[0], np.uint32)
+    lo[slot] = lo_all
+    hi[slot] = hi_all
+    return ExactGramTable(
+        lo=lo, hi=hi, q=q, dmax=dmax, m=m,
+        c1=int(c1), c2=int(c2), n=len(keys),
+    )
+
+
 def table_from_keys(
     keys: np.ndarray, q: int, seed: int = 0
 ) -> ExactGramTable:
     """Place every key within ``dmax`` linear-probe slots of its hash.
 
     ``keys``: packed uint64 gram keys (pack_grams layout, e.g. the
-    persisted BloomFilterTable.gram_keys). Vectorized greedy rounds: per
-    distance d, every unplaced key bids for slot h+d; one winner per slot
-    (np.unique first-occurrence), losers re-bid at d+1. If any key is
-    left after dmax rounds, reseed the hash; after a few seeds, double
+    persisted BloomFilterTable.gram_keys). If any key is left unplaced
+    after dmax greedy rounds, reseed the hash; after a few seeds, double
     the table. Load factor starts at <= 0.5 so placement virtually always
     succeeds on the first try."""
-    keys = np.unique(np.asarray(keys, np.uint64))
-    n = len(keys)
-    dmax = 4
+    return tables_from_keys_common([keys], q, seed)[0]
+
+
+def tables_from_keys_common(
+    keys_list, q: int, seed: int = 0
+) -> list[ExactGramTable]:
+    """Build one table per key set, all sharing (m, dmax, c1, c2).
+
+    The pattern-sharded mesh step walks each shard's table under
+    shard_map, where the lookup parameters are STATIC (one compiled
+    kernel) and only the [S, m+dmax] planes shard over the "pat" axis —
+    so every shard's placement must succeed with the same constants."""
+    keys_list = [np.unique(np.asarray(k, np.uint64)) for k in keys_list]
+    dmax = _DMAX
     m = 128
-    while m < 2 * n:
-        m *= 2
-    lo_all = (keys & _MASK32).astype(np.uint32)
-    hi_all = (keys >> np.uint64(32)).astype(np.uint32)
+    for k in keys_list:
+        while m < 2 * len(k):
+            m *= 2
     rng = np.random.RandomState(seed ^ 0xE9AC7)
     while True:
         for _try in range(8):
             c1 = np.uint32(int(rng.randint(1, 2**31)) | 1)
             c2 = np.uint32(int(rng.randint(1, 2**31)) | 1)
-            if n == 0:
-                return ExactGramTable(
-                    lo=np.zeros(m + dmax, np.uint32),
-                    hi=np.zeros(m + dmax, np.uint32),
-                    q=q, dmax=dmax, m=m, c1=int(c1), c2=int(c2), n=0,
-                )
-            h = (_mix32_np(lo_all, hi_all, c1, c2) & np.uint32(m - 1)).astype(
-                np.int64
-            )
-            slot = np.full(n, -1, np.int64)
-            taken = np.zeros(m + dmax, bool)
-            pending = np.arange(n)
-            for d in range(dmax):
-                bid = h[pending] + d
-                free = ~taken[bid]
-                cand = pending[free]
-                bid = bid[free]
-                # one winner per slot: first occurrence in sorted-key
-                # order (deterministic)
-                uniq, first = np.unique(bid, return_index=True)
-                slot[cand[first]] = uniq
-                taken[uniq] = True
-                pending = pending[~np.isin(pending, cand[first])]
-                if not len(pending):
+            slots = []
+            for k in keys_list:
+                if len(k) == 0:
+                    slots.append(np.zeros(0, np.int64))
+                    continue
+                s = _try_place(k, m, c1, c2)
+                if s is None:
                     break
-            if not len(pending):
-                lo = np.full(m + dmax, lo_all[0], np.uint32)
-                hi = np.full(m + dmax, hi_all[0], np.uint32)
-                lo[slot] = lo_all
-                hi[slot] = hi_all
-                return ExactGramTable(
-                    lo=lo, hi=hi, q=q, dmax=dmax, m=m,
-                    c1=int(c1), c2=int(c2), n=n,
-                )
+                slots.append(s)
+            if len(slots) == len(keys_list):
+                out = []
+                for k, s in zip(keys_list, slots):
+                    if len(k) == 0:
+                        out.append(ExactGramTable(
+                            lo=np.zeros(m + dmax, np.uint32),
+                            hi=np.zeros(m + dmax, np.uint32),
+                            q=q, dmax=dmax, m=m,
+                            c1=int(c1), c2=int(c2), n=0,
+                        ))
+                    else:
+                        out.append(_fill_table(k, s, q, dmax, m, c1, c2))
+                return out
         m *= 2
 
 

@@ -109,6 +109,49 @@ def _compact_flags(flags_flat, values, capacity):
     return n, outs, n > capacity
 
 
+def bitmap_to_candidates(bits, stride: int, k_cand: int):
+    """Survivor bitmap [W, Cb] -> compacted (lane, row)-sorted candidates.
+
+    Two-stage cumsum+scatter: nonzero WORDS compact first (a nonzero word
+    holds >= 1 candidate, so k_cand bounds the word count too), then their
+    bits expand and compact. Returns (n_cand, lane[k_cand], row[k_cand],
+    overflowed); sentinel slots hold (lane=Cb, row=INT32_MAX). Shared by
+    the verify kernel's stages 1-2 and the refined-probe path
+    (ops/bloom._hits_refined_jit)."""
+    W, Cb = bits.shape
+    wordsT = bits.T  # [Cb, W] (lane-major so candidates sort by lane)
+    n_words, (widx, wval), _w_over = _compact_flags(
+        (wordsT != 0).reshape(-1),
+        [
+            (
+                jax.lax.broadcasted_iota(
+                    jnp.int32, (Cb * W, 1), 0
+                ).squeeze(-1),
+                jnp.int32(Cb * W),
+            ),
+            (wordsT.reshape(-1), jnp.int32(0)),
+        ],
+        k_cand,
+    )
+    bit_iota = jax.lax.broadcasted_iota(jnp.int32, (k_cand, 32), 1)
+    has_bit = (
+        jax.lax.shift_right_logical(wval[:, None], bit_iota) & 1
+    ) > 0  # padded slots have wval == 0 -> no bits
+    lane_w = widx // W  # sentinel slots -> lane Cb: inert
+    row_w = (widx % W) * 32
+    rows32 = (row_w[:, None] + bit_iota) * stride
+    lanes32 = jnp.broadcast_to(lane_w[:, None], (k_cand, 32))
+    n_cand, (lane, row), cand_over = _compact_flags(
+        has_bit.reshape(-1),
+        [
+            (lanes32.reshape(-1), jnp.int32(Cb)),
+            (rows32.reshape(-1), jnp.int32(INT32_MAX)),
+        ],
+        k_cand,
+    )
+    return n_cand, lane, row, cand_over
+
+
 def _verify_kernel(
     table_flat,
     state_gid,
@@ -141,39 +184,8 @@ def _verify_kernel(
     W, Cb = bits.shape  # Cb >= C: the probe pads lanes to a 128 multiple
     G = num_groups      # (padded lanes have start==end: no candidates)
 
-    # ---- stage 1: nonzero words (lane-major so candidates sort by lane) --
-    wordsT = bits.T  # [Cb, W]
-    n_words, (widx, wval), _w_over = _compact_flags(
-        (wordsT != 0).reshape(-1),
-        [
-            (
-                jax.lax.broadcasted_iota(
-                    jnp.int32, (Cb * W, 1), 0
-                ).squeeze(-1),
-                jnp.int32(Cb * W),
-            ),
-            (wordsT.reshape(-1), jnp.int32(0)),
-        ],
-        k_cand,  # a nonzero word holds >= 1 candidate: k_cand bounds words
-    )
-
-    # ---- stage 2: bits -> (lane, row) candidates --------------------------
-    bit_iota = jax.lax.broadcasted_iota(jnp.int32, (k_cand, 32), 1)
-    has_bit = (
-        jax.lax.shift_right_logical(wval[:, None], bit_iota) & 1
-    ) > 0  # [k_cand, 32]; padded slots have wval == 0 -> no bits
-    lane_w = widx // W  # [k_cand] (sentinel slots -> lane Cb: inert)
-    row_w = (widx % W) * 32
-    rows32 = (row_w[:, None] + bit_iota) * stride
-    lanes32 = jnp.broadcast_to(lane_w[:, None], (k_cand, 32))
-    n_cand, (lane, row), cand_over = _compact_flags(
-        has_bit.reshape(-1),
-        [
-            (lanes32.reshape(-1), jnp.int32(Cb)),  # sentinel lane Cb
-            (rows32.reshape(-1), jnp.int32(INT32_MAX)),
-        ],
-        k_cand,
-    )
+    # ---- stages 1+2: bitmap -> compacted (lane, row) candidates -----------
+    n_cand, lane, row, cand_over = bitmap_to_candidates(bits, stride, k_cand)
     slot = jax.lax.broadcasted_iota(jnp.int32, (k_cand, 1), 0).squeeze(-1)
     cand_valid = slot < n_cand
     data_flat = data.reshape(-1)

@@ -169,6 +169,8 @@ def make_sharded_bloom_count_step(
     halo: int,
     k_cand: int = 4096,
     k_ev: int = 4096,
+    gram_keys=None,
+    k_walk: int | None = None,
 ):
     """The all-device psum count path for the flagship engine: bloom probe
     + device-side exact verify + per-group count psum in ONE jit under
@@ -179,11 +181,18 @@ def make_sharded_bloom_count_step(
     Returns ``step(words, table_flat, state_gid, data, bounds) ->
     (gcounts [G] replicated, n_events [] replicated, flags [] replicated)``
     where ``flags != 0`` means SOME shard overflowed a fixed per-shard
-    capacity (bit0 candidates, bit1 event slots) — gcounts are then
-    incomplete and the caller must rescan with larger capacities or fall
-    back to host verify; ``n_events`` stays exact either way. Per-shard
-    capacities are static: unlike the single-chip decode path, a fused
-    mesh step cannot bucket per batch.
+    capacity (bit0 candidates, bit1 event slots, bit2 refined candidates)
+    — gcounts are then incomplete and the caller must rescan with larger
+    capacities or fall back to host verify; ``n_events`` stays exact
+    either way. Per-shard capacities are static: unlike the single-chip
+    decode path, a fused mesh step cannot bucket per batch.
+
+    ``gram_keys`` (BloomFilterTable.gram_keys) enables the exact-gram
+    refinement stage per shard: bloom fp candidates erase before the
+    windowed walk (ops/exact_gram.py), so the per-shard walk capacity
+    ``k_walk`` (default k_cand) covers true gram occurrences only. The
+    exact table replicates to every device (closure-captured constants
+    under shard_map).
     """
     try:
         from jax import shard_map
@@ -195,6 +204,20 @@ def make_sharded_bloom_count_step(
 
     cfg = bloom.cfg
     axis = ctx.axis
+    exact_lo = exact_hi = None
+    exact_meta = None
+    if gram_keys is not None and len(gram_keys):
+        from tpu_pattern_matching.ops.exact_gram import table_from_keys
+
+        rep = jax.sharding.NamedSharding(ctx.mesh, P())
+        xt = table_from_keys(gram_keys, cfg.q)
+        exact_lo = jax.device_put(xt.lo.view(np.int32), rep)
+        exact_hi = (
+            jax.device_put(xt.hi.view(np.int32), rep) if xt.use_hi else None
+        )
+        exact_meta = (xt.dmax, xt.m, xt.c1, xt.c2, xt.n,
+                      bool(cfg.fold_case), xt.use_hi)
+    kw = k_walk if k_walk is not None else k_cand
 
     def local_step(words, table_flat, state_gid, data, bounds):
         C_local = data.shape[0]
@@ -213,6 +236,8 @@ def make_sharded_bloom_count_step(
             data,
             bounds,
             bits,
+            exact_lo,
+            exact_hi,
             alphabet_size=table.alphabet_size,
             stride=cfg.stride,
             q=cfg.q,
@@ -221,12 +246,16 @@ def make_sharded_bloom_count_step(
             k_cand=k_cand,
             k_ev=k_ev,
             num_groups=table.num_groups,
+            exact_meta=exact_meta,
+            k_walk=kw,
         )
         # flags are a BITMASK: reduce with a bitwise OR across shards (a
         # psum would alias bits — two shards with bit0 sum to bit1).
         # pmax per extracted bit == OR for 0/1-valued bits.
-        flags_or = jax.lax.pmax(meta[3] & 1, axis) | jax.lax.pmax(
-            meta[3] & 2, axis
+        flags_or = (
+            jax.lax.pmax(meta[3] & 1, axis)
+            | jax.lax.pmax(meta[3] & 2, axis)
+            | jax.lax.pmax(meta[3] & 4, axis)
         )
         return (
             jax.lax.psum(gcounts, axis),

@@ -80,14 +80,24 @@ class ShardedBloom:
     max_pat_len: int  # global (over all shards)
     n_grams: list[int]  # per shard
     fp_est: list[float]  # per shard
-    gram_keys: object = None  # UNION of per-shard exact inserted gram
-    # keys (sorted uint64, ops/exact_gram.pack_grams layout): a union
-    # bitmap candidate is true iff its gram is in SOME shard's set, so
-    # one exact table over the union refines the union bitmap
+    shard_gram_keys: list | None = None  # per-shard exact inserted gram
+    # keys (sorted uint64 arrays, ops/exact_gram.pack_grams layout) —
+    # the pat-sharded count step refines each device's walk against ITS
+    # shard's set (erasing other shards' true grams too)
 
     @property
     def n_shards(self) -> int:
         return len(self.parts)
+
+    @property
+    def gram_keys(self):
+        """UNION of the per-shard inserted gram sets: a union-bitmap
+        candidate is true iff its gram is in SOME shard's set, so one
+        exact table over the union refines the union bitmap (the
+        single-device / host-verify shape)."""
+        if self.shard_gram_keys is None:
+            return None
+        return np.unique(np.concatenate(self.shard_gram_keys))
 
     @staticmethod
     def from_table(table, n_shards: int, **kw) -> "ShardedBloom":
@@ -159,11 +169,9 @@ class ShardedBloom:
                     f"shard {s} config diverged: {shards[s].cfg} != {cfg}"
                 )
         if all(sh.gram_keys is not None for sh in shards):
-            gram_keys = np.unique(
-                np.concatenate([sh.gram_keys for sh in shards])
-            )
+            shard_gram_keys = [sh.gram_keys for sh in shards]
         else:
-            gram_keys = None
+            shard_gram_keys = None
         return ShardedBloom(
             words=np.stack([sh.words for sh in shards]),
             cfg=cfg,
@@ -171,7 +179,7 @@ class ShardedBloom:
             max_pat_len=max(len(p) for p in pats),
             n_grams=[sh.n_grams for sh in shards],
             fp_est=[sh.fp_est for sh in shards],
-            gram_keys=gram_keys,
+            shard_gram_keys=shard_gram_keys,
         )
 
     def put(self, sharding=None) -> "DeviceShardedBloom":
@@ -209,8 +217,13 @@ class ShardedBloom:
             n_grams=np.asarray(self.n_grams, np.int64),
             fp_est=np.asarray(self.fp_est, np.float64),
             **(
-                {"gram_keys": self.gram_keys}
-                if self.gram_keys is not None
+                {
+                    "gram_keys_flat": np.concatenate(self.shard_gram_keys),
+                    "gram_keys_lens": np.asarray(
+                        [len(k) for k in self.shard_gram_keys], np.int64
+                    ),
+                }
+                if self.shard_gram_keys is not None
                 else {}
             ),
         )
@@ -237,6 +250,13 @@ class ShardedBloom:
         for n in plen:
             parts.append(flat[off : off + int(n)].copy())
             off += int(n)
+        shard_gram_keys = None
+        if "gram_keys_flat" in z.files:
+            kf = z["gram_keys_flat"]
+            shard_gram_keys, off = [], 0
+            for n in z["gram_keys_lens"]:
+                shard_gram_keys.append(kf[off : off + int(n)].copy())
+                off += int(n)
         return ShardedBloom(
             words=z["pshard_words"],
             cfg=cfg,
@@ -244,7 +264,7 @@ class ShardedBloom:
             max_pat_len=int(z["max_pat_len"]),
             n_grams=[int(x) for x in z["n_grams"]],
             fp_est=[float(x) for x in z["fp_est"]],
-            gram_keys=z["gram_keys"] if "gram_keys" in z.files else None,
+            shard_gram_keys=shard_gram_keys,
         )
 
 
@@ -434,6 +454,8 @@ def make_pattern_sharded_count_step(
     halo: int,
     k_cand: int = 4096,
     k_ev: int = 4096,
+    shard_gram_keys=None,
+    k_walk: int | None = None,
 ):
     """Probe + device verify + count, with the TABLE sharded over "pat".
 
@@ -451,7 +473,17 @@ def make_pattern_sharded_count_step(
     slots) and its row is incomplete — rescan with larger caps. Note the
     event-per-end semantics are per SHARD: patterns co-terminating across
     shards count one event in each shard's total (per-pattern counts are
-    unaffected; the event-set decode path merges them instead)."""
+    unaffected; the event-set decode path merges them instead).
+
+    ``shard_gram_keys`` (list of per-shard BloomFilterTable.gram_keys
+    sets — pass ShardedBloom per-shard keys, NOT the union) enables
+    per-shard exact-gram refinement: each device erases every union
+    candidate whose gram is not in ITS OWN shard's inserted set — both
+    bloom fp AND other shards' true grams die before the walk, so the
+    per-device walk load is the per-shard rate, not the S-fold union
+    flood (BENCH_NOTES 300k pshard A/B). Exactness per shard follows the
+    usual candidate-subset argument applied shard-wise: every occurrence
+    of a shard-s pattern contains a probed gram from shard s's set."""
     try:
         from jax import shard_map
     except ImportError:  # older jax
@@ -464,8 +496,35 @@ def make_pattern_sharded_count_step(
     alphabet_size = shard_tables[0].alphabet_size
     lmax = max(t.max_pat_len for t in shard_tables)
     gmax = max(t.num_groups for t in shard_tables)
+    exact_meta = None
+    exact_lo_s = exact_hi_s = None
+    if shard_gram_keys is not None:
+        from tpu_pattern_matching.ops.exact_gram import (
+            tables_from_keys_common,
+        )
 
-    def local_step(words, table_flat, state_gid, data, bounds):
+        xts = tables_from_keys_common(shard_gram_keys, cfg.q)
+        x0 = xts[0]
+        exact_meta = (x0.dmax, x0.m, x0.c1, x0.c2,
+                      min(t.n for t in xts), bool(cfg.fold_case),
+                      x0.use_hi)
+        pat_sh = jax.sharding.NamedSharding(
+            ctx.mesh, P("pat") if ctx.mesh.shape["pat"] > 1 else P()
+        )
+        exact_lo_s = jax.device_put(
+            np.stack([t.lo.view(np.int32) for t in xts]), pat_sh
+        )
+        exact_hi_s = (
+            jax.device_put(
+                np.stack([t.hi.view(np.int32) for t in xts]), pat_sh
+            )
+            if x0.use_hi
+            else None
+        )
+    kw = k_walk if k_walk is not None else k_cand
+
+    def local_step(words, table_flat, state_gid, exact_lo, exact_hi,
+                   data, bounds):
         C_local = data.shape[0]
         if C_local % 128:
             raise ValueError(
@@ -486,6 +545,8 @@ def make_pattern_sharded_count_step(
             data,
             bounds,
             union,
+            exact_lo[0] if exact_lo is not None else None,
+            exact_hi[0] if exact_hi is not None else None,
             alphabet_size=alphabet_size,
             stride=cfg.stride,
             q=cfg.q,
@@ -494,12 +555,16 @@ def make_pattern_sharded_count_step(
             k_cand=k_cand,
             k_ev=k_ev,
             num_groups=gmax,
+            exact_meta=exact_meta,
+            k_walk=kw,
         )
         # flags are a BITMASK: reduce with a bitwise OR over "data" (a
         # psum would alias bits — two lane shards with bit0 sum to bit1).
         # pmax per extracted bit == OR for 0/1 values.
-        flags_or = jax.lax.pmax(meta[3] & 1, "data") | jax.lax.pmax(
-            meta[3] & 2, "data"
+        flags_or = (
+            jax.lax.pmax(meta[3] & 1, "data")
+            | jax.lax.pmax(meta[3] & 2, "data")
+            | jax.lax.pmax(meta[3] & 4, "data")
         )
         return (
             jax.lax.psum(gcounts, "data")[None],
@@ -507,15 +572,24 @@ def make_pattern_sharded_count_step(
             flags_or[None],
         )
 
-    return jax.jit(
+    jitted = jax.jit(
         shard_map(
             local_step,
             mesh=ctx.mesh,
-            in_specs=(P("pat"), P("pat"), P("pat"), P("data"), P(None, "data")),
+            in_specs=(P("pat"), P("pat"), P("pat"),
+                      P("pat") if exact_lo_s is not None else P(),
+                      P("pat") if exact_hi_s is not None else P(),
+                      P("data"), P(None, "data")),
             out_specs=(P("pat", None), P("pat"), P("pat")),
             check_vma=False,  # pallas_call outputs carry no vma metadata
         )
     )
+
+    def step(words, table_flat, state_gid, data, bounds):
+        return jitted(words, table_flat, state_gid, exact_lo_s,
+                      exact_hi_s, data, bounds)
+
+    return step
 
 
 def global_pattern_counts(

@@ -292,6 +292,39 @@ class MatchSession:
                 table, self.bloom_table.cfg, self.halo, sharding,
                 gram_keys=self.bloom_table.gram_keys,
             )
+        if (
+            self._bloom is not None
+            and self._bloom_step is None
+            and self._dvf is None
+            and hasattr(self._bloom, "attach_exact")
+            and getattr(self.bloom_table, "gram_keys", None) is not None
+            and len(self.bloom_table.gram_keys)
+            and hasattr(self.bloom_table, "expected_cand_rate")
+        ):
+            # host-verify path: refine the survivor bitmap ON DEVICE with
+            # the exact inserted gram set, so the host only ever walks
+            # true gram occurrences (bloom fp never crosses the D2H or
+            # touches a host core). The capacity bucket comes from the
+            # chooser's modeled candidate rate with 4x headroom; overflow
+            # passes the unrefined bitmap through (host absorbs, lossless).
+            from tpu_pattern_matching.ops.verify_device import (
+                MAX_DEVICE_CAND,
+                next_cap,
+            )
+
+            batch_positions = max_chunks * (self.halo + chunk_len)
+            rate = self.bloom_table.expected_cand_rate()
+            k_ref = next_cap(
+                int(
+                    min(
+                        MAX_DEVICE_CAND,
+                        max(2048, 4.0 * rate * batch_positions),
+                    )
+                )
+            )
+            self._bloom.attach_exact(
+                self.bloom_table.gram_keys, k_ref, sharding
+            )
         self.max_chunks = max_chunks
         self.chunk_len = chunk_len
         self.max_results = max_results

@@ -323,6 +323,13 @@ class BloomFilterTable:
                 return (min(1.0, true_rate) + fp) * 2.0 / (w + 1)
             return (min(1.0, true_rate) + fp) / s
 
+        def true_rate_of(q, n, *, s=1, w=0):
+            # the component of candidate_rate the exact-gram refinement
+            # CANNOT erase: grams literally in the inserted set
+            universe = float(alphabet_size) ** q
+            tr = min(1.0, universe * -np.expm1(-n / universe) / universe)
+            return tr * 2.0 / (w + 1) if w else tr / s
+
         def probe_cost(q, k, v, *, s=1, w=0):
             # element-ops per input byte: hash (2.5/symbol) + k banks of
             # (index math + v gathers&selects); strided amortizes over the
@@ -359,12 +366,27 @@ class BloomFilterTable:
         # 0.1295 ns/byte on v5e at probe_cost = 167 units
         # (exp_verify_ab round 3) -> ~0.00078 ns/byte per cost unit.
         PROBE_NS_PER_UNIT = 0.00078
+        # Exact-gram refinement pricing (objective="refined"): the
+        # refinement runs ON DEVICE in the probe's jit, so its marginal
+        # (~q + dmax serialized gathers per candidate slot) adds to the
+        # device side while the host sees only true-gram candidates.
+        # PROVISIONAL until the chip calibration lands (exp_verify_ab
+        # refined arm); the structure is what matters — fp stops taxing
+        # the host at verify_ns and starts taxing the device at refine_ns.
+        REFINE_NS_PER_CAND = 120.0
 
         # Legacy probe-objective surcharge (round-2 rule, kept for
         # objective="probe"): a soft verify tax + throughput-coupled cap.
         VERIFY_UNITS = 1800.0
 
+        refinable = q_max <= 8 and alphabet_size == 256
+
         def rate_cap(cost):
+            if objective == "refined":
+                # the device-side refine stage absorbs floods the host
+                # never sees; cap only what the compaction capacity
+                # (k_ref <= MAX_DEVICE_CAND per ~16 MiB batch) can hold
+                return max(fp_target, 5e-3)
             if objective == "joint":
                 # eligibility only guards against candidate floods the
                 # decode path cannot absorb; the objective itself prices
@@ -372,11 +394,22 @@ class BloomFilterTable:
                 return max(fp_target, 1e-2)
             return max(fp_target, min(4e-3, 2e-5 * cost))
 
-        def consider(rate, cost, q, s, w, k, v):
+        def consider(rate, true_rate, cost, q, s, w, k, v):
             nonlocal best, fallback
             rate = rate * rate_scale  # union rate over pattern shards
+            true_rate = true_rate * rate_scale
             if rate <= rate_cap(cost):
-                if objective == "joint":
+                if objective == "refined":
+                    # device: probe + on-device exact-gram refinement of
+                    # ALL candidates; host: native walk of the TRUE-gram
+                    # residue only (bloom fp never crosses the D2H)
+                    dev_ns = (
+                        cost * PROBE_NS_PER_UNIT
+                        + rate * REFINE_NS_PER_CAND
+                    )
+                    host_ns = true_rate * verify_ns_per_cand
+                    obj = max(dev_ns, host_ns) + 0.05 * (dev_ns + host_ns)
+                elif objective == "joint":
                     probe_ns = cost * PROBE_NS_PER_UNIT
                     ver_ns = rate * verify_ns_per_cand
                     # probe (device) and verify (host/device stage)
@@ -396,10 +429,10 @@ class BloomFilterTable:
             return False
 
         # the legacy probe objective is monotone in v (more filter only
-        # costs), so its v loop breaks at first eligibility; the joint
-        # objective is NOT (more filter can pay for itself in verify
-        # savings) — scan every v
-        scan_all_v = objective == "joint"
+        # costs), so its v loop breaks at first eligibility; the joint/
+        # refined objectives are NOT (more filter can pay for itself in
+        # verify savings) — scan every v
+        scan_all_v = objective in ("joint", "refined")
 
         if force is not None:
             mode = "none"  # skip the search entirely: a forced config
@@ -410,12 +443,13 @@ class BloomFilterTable:
             for q in range(1, q_max + 1):
                 for s in range(q, min(max_stride, lmin - q + 1) + 1):
                     n = n_est(q, s)
+                    tr = true_rate_of(q, n, s=s)
                     for k in range(2, max_k + 1):
                         v = 1
                         while v <= max_v:
                             rate = candidate_rate(q, n, k, v, s=s)
                             c = probe_cost(q, k, v, s=s)
-                            if consider(rate, c, q, s, 0, k, v) and (
+                            if consider(rate, tr, c, q, s, 0, k, v) and (
                                 not scan_all_v
                             ):
                                 break
@@ -436,12 +470,13 @@ class BloomFilterTable:
                     if w < 1:
                         continue
                     n = n_sampled(q, w)
+                    tr = true_rate_of(q, n, w=w)
                     for k in range(2, max_k + 1):
                         v = 1
                         while v <= max_v_s:
                             rate = candidate_rate(q, n, k, v, w=w)
                             c = probe_cost(q, k, v, w=w)
-                            if consider(rate, c, q, 1, w, k, v) and (
+                            if consider(rate, tr, c, q, 1, w, k, v) and (
                                 not scan_all_v
                             ):
                                 break

@@ -101,12 +101,13 @@ _DMAX = 4
 
 
 def _try_place(
-    keys: np.ndarray, m: int, c1: np.uint32, c2: np.uint32
+    keys: np.ndarray, m: int, c1: np.uint32, c2: np.uint32,
+    dmax: int = _DMAX,
 ) -> np.ndarray | None:
     """Greedy vectorized linear-probe placement: per distance d, every
     unplaced key bids for slot h+d; one winner per slot (np.unique
     first-occurrence), losers re-bid at d+1. Returns the slot array or
-    None when some key cannot place within _DMAX."""
+    None when some key cannot place within ``dmax``."""
     n = len(keys)
     lo_all = (keys & _MASK32).astype(np.uint32)
     hi_all = (keys >> np.uint64(32)).astype(np.uint32)
@@ -114,9 +115,9 @@ def _try_place(
         np.int64
     )
     slot = np.full(n, -1, np.int64)
-    taken = np.zeros(m + _DMAX, bool)
+    taken = np.zeros(m + dmax, bool)
     pending = np.arange(n)
-    for d in range(_DMAX):
+    for d in range(dmax):
         bid = h[pending] + d
         free = ~taken[bid]
         cand = pending[free]
@@ -169,39 +170,45 @@ def tables_from_keys_common(
     kernel) and only the [S, m+dmax] planes shard over the "pat" axis —
     so every shard's placement must succeed with the same constants."""
     keys_list = [np.unique(np.asarray(k, np.uint64)) for k in keys_list]
-    dmax = _DMAX
-    m = 128
+    m0 = 128
     for k in keys_list:
-        while m < 2 * len(k):
-            m *= 2
+        while m0 < 2 * len(k):
+            m0 *= 2
     rng = np.random.RandomState(seed ^ 0xE9AC7)
+    # prefer dmax=2 at load <= 0.25 (the per-candidate device check costs
+    # dmax gathers — the refinement's hot marginal); fall back to the
+    # denser dmax=4 layout, then grow the table
+    attempts = [(2, m0 * 2), (4, m0), (2, m0 * 4), (4, m0 * 2)]
     while True:
-        for _try in range(8):
-            c1 = np.uint32(int(rng.randint(1, 2**31)) | 1)
-            c2 = np.uint32(int(rng.randint(1, 2**31)) | 1)
-            slots = []
-            for k in keys_list:
-                if len(k) == 0:
-                    slots.append(np.zeros(0, np.int64))
-                    continue
-                s = _try_place(k, m, c1, c2)
-                if s is None:
-                    break
-                slots.append(s)
-            if len(slots) == len(keys_list):
-                out = []
-                for k, s in zip(keys_list, slots):
+        for dmax, m in attempts:
+            for _try in range(8):
+                c1 = np.uint32(int(rng.randint(1, 2**31)) | 1)
+                c2 = np.uint32(int(rng.randint(1, 2**31)) | 1)
+                slots = []
+                for k in keys_list:
                     if len(k) == 0:
-                        out.append(ExactGramTable(
-                            lo=np.zeros(m + dmax, np.uint32),
-                            hi=np.zeros(m + dmax, np.uint32),
-                            q=q, dmax=dmax, m=m,
-                            c1=int(c1), c2=int(c2), n=0,
-                        ))
-                    else:
-                        out.append(_fill_table(k, s, q, dmax, m, c1, c2))
-                return out
-        m *= 2
+                        slots.append(np.zeros(0, np.int64))
+                        continue
+                    s = _try_place(k, m, c1, c2, dmax)
+                    if s is None:
+                        break
+                    slots.append(s)
+                if len(slots) == len(keys_list):
+                    out = []
+                    for k, s in zip(keys_list, slots):
+                        if len(k) == 0:
+                            out.append(ExactGramTable(
+                                lo=np.zeros(m + dmax, np.uint32),
+                                hi=np.zeros(m + dmax, np.uint32),
+                                q=q, dmax=dmax, m=m,
+                                c1=int(c1), c2=int(c2), n=0,
+                            ))
+                        else:
+                            out.append(
+                                _fill_table(k, s, q, dmax, m, c1, c2)
+                            )
+                    return out
+        attempts = [(d, m * 2) for d, m in attempts]
 
 
 def member_mask_np(table: ExactGramTable, keys: np.ndarray) -> np.ndarray:

@@ -42,6 +42,9 @@ def main() -> None:
     ap.add_argument("--mode", default="auto")
     ap.add_argument("--objective", default="joint",
                     help="chooser objective for the 'auto' variant")
+    ap.add_argument("--objective2", default="",
+                    help="add a second auto variant under this objective "
+                    "(e.g. 'refined') — interleaved against the first")
     args = ap.parse_args()
 
     import jax
@@ -56,6 +59,7 @@ def main() -> None:
         BloomFilterTable,
         DeviceBloom,
         _hits_jit,
+        _hits_refined_jit,
         unpack_hit_rows,
     )
     from tpu_pattern_matching.ops.exact_gram import table_from_keys
@@ -76,6 +80,13 @@ def main() -> None:
             table, mode=args.mode, objective=args.objective
         ),
     )]
+    if args.objective2:
+        variants.append((
+            f"auto-{args.objective2}",
+            BloomFilterTable.from_table(
+                table, mode=args.mode, objective=args.objective2
+            ),
+        ))
     for spec in (s for s in args.force.split(";") if s):
         fmode = "strided"
         if spec.startswith("S:"):
@@ -206,6 +217,34 @@ def main() -> None:
             )
             return acc
 
+        # refined HOST pipeline: the device pays probe + exact-gram
+        # refinement (one jit, no walk); the host fetches a bitmap holding
+        # only true-gram candidates and walks just those. This is the
+        # session's single-chip default path when refinement is attached,
+        # and the arm that calibrates REFINE_NS_PER_CAND in the chooser.
+        @functools.partial(jax.jit, static_argnames=("K",))
+        def refined_probe_arm(data, bounds, *, K):
+            def body(acc, _):
+                b2 = bounds.at[0, 0].add(acc & 1)
+                total, _bits = _hits_refined_jit(
+                    data, b2, words, exact_lo, exact_hi, cfg=cfg,
+                    interpret=interpret, exact_meta=exact_meta,
+                    k_ref=k_cand,
+                )
+                return acc + total[0], None
+
+            acc, _ = jax.lax.scan(
+                body, jnp.zeros((), jnp.int32), None, length=K
+            )
+            return acc
+
+        meta_r, bits_r = _hits_refined_jit(
+            data, bounds, words, exact_lo, exact_hi, cfg=cfg,
+            interpret=interpret, exact_meta=exact_meta, k_ref=k_cand,
+        )
+        n_refined = int(np.asarray(meta_r)[0])
+        bits_r_np = np.asarray(bits_r)
+
         @functools.partial(jax.jit, static_argnames=("K",))
         def probe_arm(data, bounds, *, K):
             def body(acc, _):
@@ -219,9 +258,9 @@ def main() -> None:
             )
             return acc
 
-        def host_side_once():
+        def host_side_once(bmp):
             t0 = time.perf_counter()
-            rows, lanes = unpack_hit_rows(bits_np, cfg.stride)
+            rows, lanes = unpack_hit_rows(bmp, cfg.stride)
             arr = verifier.verify_batch_arrays(
                 data_np, lanes, rows, halo, start_np, end_np
             )
@@ -229,7 +268,8 @@ def main() -> None:
             return time.perf_counter() - t0, n_ev
 
         best_dev = best_probe = best_ref = float("inf")
-        best_host = float("inf")
+        best_rprobe = float("inf")
+        best_host = best_rhost = float("inf")
         n_ev = 0
         for _ in range(args.rounds):  # interleave the arms
             best_dev = min(
@@ -240,12 +280,18 @@ def main() -> None:
                 best_ref,
                 timed(lambda K: int(refined_arm(data, bounds, K=K))),
             )
+            best_rprobe = min(
+                best_rprobe,
+                timed(lambda K: int(refined_probe_arm(data, bounds, K=K))),
+            )
             best_probe = min(
                 best_probe,
                 timed(lambda K: int(probe_arm(data, bounds, K=K))),
             )
-            h, n_ev = host_side_once()
+            h, n_ev = host_side_once(bits_np)
             best_host = min(best_host, h)
+            rh, _ = host_side_once(bits_r_np)
+            best_rhost = min(best_rhost, rh)
 
         print(json.dumps({
             "metric": "verify_ab",
@@ -269,6 +315,15 @@ def main() -> None:
             "host_side_s": best_host,
             "host_pipelined_bytes_per_s": size / max(best_probe, best_host),
             "bitmap_d2h_bytes": bits_np.nbytes,
+            # refined host pipeline (probe+refine on device, host walks
+            # the true-gram residue only)
+            "n_refined": n_refined,
+            "refined_probe_s": best_rprobe,
+            "refine_overhead_s": best_rprobe - best_probe,
+            "refine_ns_per_slot": (best_rprobe - best_probe) / k_cand * 1e9,
+            "refined_host_s": best_rhost,
+            "refined_pipelined_bytes_per_s":
+                size / max(best_rprobe, best_rhost),
         }), flush=True)
 
 

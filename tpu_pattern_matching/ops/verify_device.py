@@ -93,17 +93,33 @@ class DeviceVerifyResult:
 
 
 def _compact_flags(flags_flat, values, capacity):
-    """cumsum+scatter stream compaction: the positions of set ``flags_flat``
-    keep their relative order; each ``values`` array scatters to the
-    compacted slot. Returns (n_set, [compacted arrays], overflowed)."""
-    f = flags_flat.astype(jnp.int32)
-    pos = jnp.cumsum(f) - f
-    n = jnp.sum(f)
-    dst = jnp.where((f > 0) & (pos < capacity), pos, capacity)
+    """top_k stream compaction: the positions of set ``flags_flat`` keep
+    their relative order; each ``values`` array is gathered at the
+    compacted positions. Returns (n_set, [compacted arrays], overflowed).
+
+    Formulation: the natural cumsum+scatter costs ~4.7 ns per SOURCE
+    element on XLA:TPU (scatter-set is serialized over updates even when
+    they drop — measured, benchmarks/exp_compact_ab.py: 2.6 ms for a 540k
+    flag array, PER value array), while ``lax.top_k`` over the same flags
+    is vectorized (0.65 ms at 540k -> 6k) and the per-value cost drops to
+    a capacity-sized gather (~13 ns/element). Selection key: set position
+    i bids N - i, so descending top_k yields set positions in ASCENDING
+    index order (the order contract callers rely on); unset slots bid -1
+    and sort after every valid key. Overflow keeps the FIRST ``capacity``
+    set positions, matching the scatter formulation's ``pos < capacity``
+    rule."""
+    N = flags_flat.shape[0]
+    n = jnp.sum(flags_flat.astype(jnp.int32))
+    iota = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0).squeeze(-1)
+    key = jnp.where(flags_flat, jnp.int32(N) - iota, jnp.int32(-1))
+    k = min(capacity, N)
+    top, _ = jax.lax.top_k(key, k)
+    if k < capacity:
+        top = jnp.pad(top, (0, capacity - k), constant_values=-1)
+    valid = top >= 0
+    src = jnp.clip(jnp.int32(N) - top, 0, N - 1)
     outs = [
-        jnp.full((capacity,), fill, dtype=v.dtype)
-        .at[dst]
-        .set(v, mode="drop")
+        jnp.where(valid, jnp.take(v, src, mode="clip"), fill).astype(v.dtype)
         for v, fill in values
     ]
     return n, outs, n > capacity

@@ -184,7 +184,7 @@ def joint_metrics(jax, jnp, table, C, B0, rng) -> dict:
     from tpu_pattern_matching.runtime.verify import Verifier
     from tpu_pattern_matching.utils.common import pad_halo
 
-    bft = BloomFilterTable.from_table(table)  # joint-objective pick
+    bft = BloomFilterTable.from_table(table, objective="joint")
     cfg = bft.cfg
     halo = pad_halo(table.max_pat_len - 1, B0)
     B = B0 + (-(halo + B0)) % cfg.tile_rows
@@ -306,6 +306,158 @@ def joint_metrics(jax, jnp, table, C, B0, rng) -> dict:
         out[f"probe_plus_host_pipelined_bytes_per_s_{tag}"] = size / max(
             probe_s, out[f"host_verify_s_per_batch_{tag}"]
         )
+    try:
+        out.update(refined_metrics(jax, jnp, table, C, B0, rng))
+    except Exception as e:
+        out["refined_error"] = repr(e)[:200]
+    return out
+
+
+def refined_metrics(jax, jnp, table, C, B0, rng) -> dict:
+    """The session's DEFAULT single-chip pipeline: probe + on-device
+    exact-gram refinement in one jit (the host walks only the true-gram
+    residue — bloom fp never crosses the D2H), at the refined-objective
+    chooser pick, k_ref sized exactly as MatchSession sizes it. Also the
+    fully-on-device variant (refine + windowed walk + group counts in the
+    same jit: the zero-host-CPU multi-chip count path)."""
+    import functools
+    import time
+
+    from tpu_pattern_matching.ops.bloom import (
+        REFINE_HEADROOM,
+        BloomFilterTable,
+        DeviceBloom,
+        _hits_jit,
+        _hits_refined_jit,
+        unpack_hit_rows,
+    )
+    from tpu_pattern_matching.ops.exact_gram import table_from_keys
+    from tpu_pattern_matching.ops.verify_device import (
+        MAX_DEVICE_CAND,
+        _verify_kernel,
+        next_cap,
+    )
+    from tpu_pattern_matching.runtime.verify import Verifier
+    from tpu_pattern_matching.utils.common import pad_halo
+
+    bft = BloomFilterTable.from_table(table)  # default = refined objective
+    cfg = bft.cfg
+    halo = pad_halo(table.max_pat_len - 1, B0)
+    B = B0 + (-(halo + B0)) % cfg.tile_rows
+    size = C * B
+    words = jax.device_put(bft.words)
+    interpret = DeviceBloom._interpret()
+    table_flat = jax.device_put(
+        np.ascontiguousarray(table.goto_signed).reshape(-1)
+    )
+    state_gid = jax.device_put(table.state_gid.astype(np.int32))
+    verifier = Verifier(
+        [p.symbols for p in table.patterns],
+        q=cfg.q, max_pat_len=table.max_pat_len, dense_table=table,
+    )
+    xt = table_from_keys(bft.gram_keys, cfg.q)
+    exact_lo = jax.device_put(xt.lo.view(np.int32))
+    exact_hi = jax.device_put(xt.hi.view(np.int32)) if xt.use_hi else None
+    exact_meta = (xt.dmax, xt.m, xt.c1, xt.c2, xt.n,
+                  bool(cfg.fold_case), xt.use_hi)
+    k_ref = next_cap(int(min(
+        MAX_DEVICE_CAND,
+        max(2048, REFINE_HEADROOM * bft.expected_cand_rate() * size),
+    )))
+    out = {
+        "refined_config": ("sampled" if cfg.sampled else "strided")
+        + f"_q{cfg.q}s{cfg.stride}w{cfg.w}k{cfg.kbanks}v{cfg.v}",
+        "refined_k_ref": k_ref,
+    }
+    pats = [p.symbols for p in table.patterns]
+    start_np = np.full(C, halo, np.int32)
+    end_np = np.full(C, halo + B, np.int32)
+
+    def best_of(run, n=4, K_LO=1, K_HI=9):
+        run(K_LO)
+        run(K_HI)
+
+        def bt(K):
+            b = float("inf")
+            for _ in range(n):
+                t0 = time.perf_counter()
+                run(K)
+                b = min(b, time.perf_counter() - t0)
+            return b
+
+        return (bt(K_HI) - bt(K_LO)) / (K_HI - K_LO)
+
+    for density, tag in ((0.0, "d0"), (1e-3, "d1e3")):
+        data_np = rng.randint(0, 256, size=(C, halo + B)).astype(np.uint8)
+        if density > 0:
+            n_seed = max(1, int(size * density) // 12)
+            lanes_s = rng.randint(0, C, size=n_seed)
+            pos_s = rng.randint(halo, halo + B - 12, size=n_seed)
+            chosen = rng.randint(0, len(pats), size=n_seed)
+            for k in range(12):
+                data_np[lanes_s, pos_s + k] = [pats[c][k] for c in chosen]
+        data = jax.device_put(data_np)
+        bounds = jax.device_put(np.stack([start_np, end_np]))
+
+        @functools.partial(jax.jit, static_argnames=("K",))
+        def refined_probe(data, bounds, *, K):
+            def body(acc, _):
+                b2 = bounds.at[0, 0].add(acc & 1)
+                total, _bits = _hits_refined_jit(
+                    data, b2, words, exact_lo, exact_hi, cfg=cfg,
+                    interpret=interpret, exact_meta=exact_meta,
+                    k_ref=k_ref,
+                )
+                return acc + total[0], None
+
+            acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.int32), None,
+                                  length=K)
+            return acc
+
+        meta_r, bits_r = _hits_refined_jit(
+            data, bounds, words, exact_lo, exact_hi, cfg=cfg,
+            interpret=interpret, exact_meta=exact_meta, k_ref=k_ref,
+        )
+        n_refined = int(np.asarray(meta_r)[0])
+        bits_r_np = np.asarray(bits_r)
+        per = best_of(lambda K: int(refined_probe(data, bounds, K=K)))
+        host = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            rows, lanes = unpack_hit_rows(bits_r_np, cfg.stride)
+            verifier.verify_batch_arrays(
+                data_np, lanes, rows, halo, start_np, end_np
+            )
+            host = min(host, time.perf_counter() - t0)
+        out[f"refined_pipelined_bytes_per_s_{tag}"] = size / max(per, host)
+        out[f"refined_residue_per_byte_{tag}"] = n_refined / size
+
+        # fully-on-device: refine + windowed walk + group counts, one jit
+        k_walk = next_cap(max(n_refined, 1))
+
+        @functools.partial(jax.jit, static_argnames=("K",))
+        def device_joint(data, bounds, *, K):
+            def body(acc, _):
+                b2 = bounds.at[0, 0].add(acc & 1)
+                total, bits = _hits_jit(data, b2, words, cfg=cfg,
+                                        interpret=interpret)
+                m, _p, gc = _verify_kernel(
+                    table_flat, state_gid, data, b2, bits,
+                    exact_lo, exact_hi,
+                    alphabet_size=table.alphabet_size, stride=cfg.stride,
+                    q=cfg.q, lmax=table.max_pat_len, halo=halo,
+                    k_cand=k_ref, k_ev=k_walk,
+                    num_groups=table.num_groups,
+                    exact_meta=exact_meta, k_walk=k_walk,
+                )
+                return acc + total[0] + m[0] + gc[0], None
+
+            acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.int32), None,
+                                  length=K)
+            return acc
+
+        per_dj = best_of(lambda K: int(device_joint(data, bounds, K=K)))
+        out[f"refined_device_joint_bytes_per_s_{tag}"] = size / per_dj
     return out
 
 

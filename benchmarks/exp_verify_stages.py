@@ -50,7 +50,7 @@ def main(n_patterns: int = 10_000, density: float = 0.0) -> None:
     from tpu_pattern_matching.utils.common import pad_halo
 
     table = build_workload(n_patterns)
-    bft = BloomFilterTable.from_table(table)  # joint-objective pick
+    bft = BloomFilterTable.from_table(table, objective="joint")
     cfg = bft.cfg
     C, B0 = 4096, 4096
     halo = pad_halo(table.max_pat_len - 1, B0)

@@ -59,7 +59,7 @@ def main() -> None:
     pats = [bytes(rng.randint(0, 256, size=12).astype(np.uint8))
             for _ in range(args.patterns)]
     table = compile_patterns(pats)
-    bft = BloomFilterTable.from_table(table)  # joint-objective pick
+    bft = BloomFilterTable.from_table(table, objective="joint")
     cfg = bft.cfg
     C, B = 4096, 4096
     halo = pad_halo(table.max_pat_len - 1, B)

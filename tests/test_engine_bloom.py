@@ -264,3 +264,32 @@ def test_long_pattern_exceeds_chunk_all_engines():
         sess = MatchSession(compile_patterns(pats), max_chunks=8,
                             chunk_len=256, engine=eng)
         assert sess.find(data) == want, eng
+
+
+def test_refine_overflow_grows_k_ref_and_stays_exact():
+    # Match-dense input past the refine-capacity bucket: the probe passes
+    # the UNREFINED bitmap through (host absorbs, lossless) and the
+    # session grows k_ref for subsequent batches (session.py decode path).
+    pats = [b"abcd"]
+    sess = bloom_session(pats, max_chunks=4, chunk_len=64)
+    assert sess._bloom.exact_meta is not None  # refinement attached
+    sess._bloom.k_ref = 8  # force a tiny bucket
+    data = b"abcd" * 64  # 64 true occurrences >> 8
+    assert sess.find(data) == oracle(pats, data)
+    assert sess._bloom.k_ref >= 64  # grew past the flood
+
+
+def test_refined_probe_erases_fp_before_host():
+    # On clean random data the refined total must be ~the true-gram count
+    # (usually 0), never the bloom-fp survivor count: the host decode is
+    # skipped entirely. Exactness on planted matches is unchanged.
+    rng = np.random.RandomState(5)
+    pats = [bytes(rng.randint(0, 256, size=12).astype(np.uint8))
+            for _ in range(50)]
+    data = bytearray(rng.randint(0, 256, size=4096).astype(np.uint8))
+    data[100:112] = pats[7]
+    data[2000:2012] = pats[3]
+    data = bytes(data)
+    sess = bloom_session(pats, max_chunks=4, chunk_len=1024)
+    assert sess._bloom.exact_meta is not None
+    assert sess.find(data) == oracle(pats, data)

@@ -59,6 +59,12 @@ import numpy as np
 
 MASK32 = 0xFFFFFFFF
 MAX_BANKS_PER_KERNEL = 8  # more banks per kernel collapse VMEM (BENCH_NOTES)
+REFINE_HEADROOM = 2.0  # k_ref capacity = headroom x modeled candidate rate
+# x batch positions (runtime/session.py). The refinement stage's cost is
+# linear in the CAPACITY bucket (~137 ns/slot, exp_verify_ab round 3), so
+# headroom is a real per-batch tax; overflow is graceful (the unrefined
+# bitmap passes through and the host absorbs it), so modest headroom +
+# the {1,1.5}x2^k next_cap ladder is the right trade.
 GT = 64  # stride-groups (tested rows) per tile; 64*s rows is always %8==0
 MAX_LANE_TILE = 1024  # lane-block width per kernel tile
 
@@ -225,7 +231,7 @@ class BloomFilterTable:
         force: tuple | None = None,  # ("strided", q, s, k, v) or
         # ("sampled", q, w, k, v): bypass the chooser (A/B experiments
         # validating the cost model against the chip, exp_verify_ab.py)
-        objective: str = "joint",
+        objective: str = "refined",
         verify_ns_per_cand: float = 700.0,  # measured host verify cost
         # (~600-780 ns/candidate incl. bitmap unpack + window merge,
         # exp_verify_ab round 3; the device verify stage is ~1.1 us/slot)
@@ -262,14 +268,21 @@ class BloomFilterTable:
 
         ``objective`` picks what the search minimizes:
 
-        - "joint" (default) — the PIPELINED per-byte cost of the whole
-          exactness pipeline, max(probe_ns, rate x verify_ns_per_cand):
-          probe (device) and verify (host thread or device verify stage)
-          overlap in the scan_stream pipeline, so the slower stage is the
-          throughput. Constants measured on v5e round 3
-          (benchmarks/exp_verify_ab.py): the round-2 probe-only objective
-          picked a 2.3e-3 candidates/byte config whose joint throughput
-          was verify-bound at ~1/10 of the probe number.
+        - "refined" (default) — the PIPELINED per-byte cost of the
+          pipeline sessions actually run: the device pays probe +
+          on-device exact-gram refinement (fixed top_k + a headroom-scaled
+          per-slot marginal), the host pays only the true-gram residue.
+          Falls back to "joint" pricing when refinement is unavailable
+          (non-byte alphabets). Constants chip-calibrated
+          (exp_verify_ab/exp_refine_stages, round 3 post-top_k): the
+          refined pick's device-only exactness measured 3.56 GB/s vs the
+          joint pick's 3.33 at the official point, and its refined host
+          pipeline 3.68 vs 3.53.
+        - "joint" — max(probe_ns, rate x verify_ns_per_cand): the
+          UNREFINED host-verify pipeline (probe and host verify overlap in
+          scan_stream, the slower stage is the throughput). The peak
+          single-chip mode when a spare host core exists and the bitmap
+          D2H is cheap.
         - "probe" — legacy probe-cost objective with a soft verify
           surcharge (the round-2 rule; kept for probe-only benchmarking
           continuity, bench.py primary metric).
@@ -284,6 +297,10 @@ class BloomFilterTable:
         pats = [list(p) for p in patterns]
         if not pats:
             raise ValueError("no patterns")
+        if objective == "refined" and alphabet_size != 256:
+            # exact-gram refinement is byte-alphabet only (pack_grams);
+            # price the unrefined host-verify pipeline instead
+            objective = "joint"
         lmin = min(len(p) for p in pats)
         lmax = max(len(p) for p in pats)
         q_max = max(1, min(6, (lmin + 1) // 2))
@@ -367,13 +384,20 @@ class BloomFilterTable:
         # (exp_verify_ab round 3) -> ~0.00078 ns/byte per cost unit.
         PROBE_NS_PER_UNIT = 0.00078
         # Exact-gram refinement pricing (objective="refined"): the
-        # refinement runs ON DEVICE in the probe's jit, so its marginal
-        # (~q + dmax serialized gathers per candidate slot) adds to the
-        # device side while the host sees only true-gram candidates.
-        # PROVISIONAL until the chip calibration lands (exp_verify_ab
-        # refined arm); the structure is what matters — fp stops taxing
-        # the host at verify_ns and starts taxing the device at refine_ns.
-        REFINE_NS_PER_CAND = 120.0
+        # refinement runs ON DEVICE in the probe's jit, so its cost adds
+        # to the device side while the host sees only true-gram
+        # candidates. Calibrated on v5e (exp_verify_ab refined arm +
+        # exp_refine_stages, post-top_k-compaction): overhead = ~0.62 ms
+        # fixed (the stage-1 top_k over the word bitmap) + ~137 ns per
+        # CAPACITY SLOT (stage-2 compaction + q gram gathers + dmax exact
+        # probes + scatter-back, all linear in k_ref). Slots are sized
+        # REFINE_HEADROOM x modeled rate (runtime/session.py uses the
+        # same constant), so the per-candidate price is headroom-scaled.
+        REFINE_NS_PER_SLOT = 137.0
+        # stage-1 top_k cost per input byte: 0.62 ms / 17.2 MB at one
+        # bitmap bit per position (sampled); strided bitmaps have 1/s the
+        # words, so the term scales 1/stride
+        REFINE_FIXED_NS_PER_BYTE = 0.036
 
         # Legacy probe-objective surcharge (round-2 rule, kept for
         # objective="probe"): a soft verify tax + throughput-coupled cap.
@@ -405,7 +429,8 @@ class BloomFilterTable:
                     # residue only (bloom fp never crosses the D2H)
                     dev_ns = (
                         cost * PROBE_NS_PER_UNIT
-                        + rate * REFINE_NS_PER_CAND
+                        + REFINE_FIXED_NS_PER_BYTE / s
+                        + rate * REFINE_HEADROOM * REFINE_NS_PER_SLOT
                     )
                     host_ns = true_rate * verify_ns_per_cand
                     obj = max(dev_ns, host_ns) + 0.05 * (dev_ns + host_ns)

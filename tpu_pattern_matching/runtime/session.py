@@ -305,8 +305,11 @@ class MatchSession:
             # the exact inserted gram set, so the host only ever walks
             # true gram occurrences (bloom fp never crosses the D2H or
             # touches a host core). The capacity bucket comes from the
-            # chooser's modeled candidate rate with 4x headroom; overflow
-            # passes the unrefined bitmap through (host absorbs, lossless).
+            # chooser's modeled candidate rate with REFINE_HEADROOM slack
+            # (the refine stage costs ~137 ns per capacity SLOT, so slack
+            # is a per-batch tax — ops/bloom.py); overflow passes the
+            # unrefined bitmap through (host absorbs, lossless).
+            from tpu_pattern_matching.ops.bloom import REFINE_HEADROOM
             from tpu_pattern_matching.ops.verify_device import (
                 MAX_DEVICE_CAND,
                 next_cap,
@@ -318,7 +321,7 @@ class MatchSession:
                 int(
                     min(
                         MAX_DEVICE_CAND,
-                        max(2048, 4.0 * rate * batch_positions),
+                        max(2048, REFINE_HEADROOM * rate * batch_positions),
                     )
                 )
             )
@@ -562,6 +565,33 @@ class MatchSession:
         state_gid gather (the per-event dict/set/sort grouping was the
         decode bottleneck on match-dense input, BENCH_NOTES.md round 2)."""
         total = int(np.asarray(comp.meta)[0])
+        bl = self._bloom
+        if (
+            bl is not None
+            and getattr(bl, "exact_meta", None) is not None
+            and total > bl.k_ref
+        ):
+            # Refine-capacity overflow: the probe passed the UNREFINED
+            # bitmap through (this batch is absorbed losslessly by the
+            # host verify below). A refined total can never exceed k_ref
+            # without overflow, so the check is exact. Grow the bucket so
+            # a persistently match-dense stream stops paying full host
+            # verify every batch (log-bounded recompiles; capped at
+            # MAX_DEVICE_CAND — past that host verify IS the right tool).
+            from tpu_pattern_matching.ops.verify_device import (
+                MAX_DEVICE_CAND,
+                next_cap,
+            )
+
+            if bl.k_ref < MAX_DEVICE_CAND:
+                from tpu_pattern_matching.utils.debug import dprint
+
+                bl.k_ref = int(min(MAX_DEVICE_CAND, next_cap(total)))
+                dprint(
+                    1,
+                    "bloom refine overflow (%d candidates): k_ref -> %d",
+                    total, bl.k_ref,
+                )
         if total and self._dvf is not None and comp.data is not None:
             out = self._device_verify(comp, total)
             if out is not None:

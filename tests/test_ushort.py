@@ -304,6 +304,10 @@ def test_ushort_follow_mode(tmp_path):
         r, _, _ = _select.select([proc.stdout], [], [], 1.0)
         if r:
             seen += os.read(proc.stdout.fileno(), 65536)
+    # the match must STREAM out while following (depth-1 pipeline + line-
+    # buffered stdout) — surfacing only in the shutdown drain would mean
+    # unbounded follow-mode latency (the round-3 regression this guards)
+    assert b"grow" in seen, seen
     proc.send_signal(signal.SIGINT)
     out, _ = proc.communicate(timeout=900)
     out = seen + out

@@ -252,6 +252,14 @@ def main(argv: list[str] | None = None) -> int:
     raise_nofile_limit()
     check_args(args)
     align_parameters(args)
+    # stdout is the L5->L6 API (apps consume the verbose match lines,
+    # SURVEY section 5 "stdout only"); when it is a pipe Python block-
+    # buffers ~8 KB, so in -F follow mode a match line can sit invisible
+    # to the consumer for unbounded time. Line-buffer it.
+    try:
+        sys.stdout.reconfigure(line_buffering=True)
+    except (AttributeError, ValueError):  # non-standard streams
+        pass
     honor_platform_env()  # an explicit JAX_PLATFORMS request must win
     # over a preloaded TPU plugin (else cpu runs hang on tunnel health)
 
@@ -419,7 +427,11 @@ def main(argv: list[str] | None = None) -> int:
     with device_trace(args.profile):
         feeder.start()
         # depth-2 pipeline: the device scans batch k+1 while the host
-        # decodes batch k (the role of the reference's -w worker overlap)
+        # decodes batch k (the role of the reference's -w worker overlap).
+        # In follow mode the pipeline must be depth 1: a held batch's
+        # matches would wait for the NEXT batch, which a quiet stream may
+        # never produce — unbounded latency in the streaming mode.
+        depth = 1 if args.follow else 2
         pending: deque = deque()
         if jax.process_count() > 1:
             # lockstep rounds: SPMD requires every process to dispatch the
@@ -449,13 +461,13 @@ def main(argv: list[str] | None = None) -> int:
                         empty_batch = sess.new_buffer().to_batch()
                     item = FeedItem(batch=empty_batch, lines=0, bytes=0)
                 pending.append((item, sess.scan(item.batch)))
-                if len(pending) >= 2:
+                if len(pending) >= depth:
                     consume(*pending.popleft())
         else:
             for item in feeder:
                 comp = sess.scan(item.batch)
                 pending.append((item, comp))
-                if len(pending) >= 2:
+                if len(pending) >= depth:
                     consume(*pending.popleft())
         while pending:
             consume(*pending.popleft())

@@ -176,10 +176,13 @@ def run_ushort_grep(args) -> int:
         pass
 
     feeder.start()
+    # depth-1 pipeline in follow mode: a held batch's matches would wait
+    # for the NEXT batch, which a quiet stream may never produce
+    depth = 1 if getattr(args, "follow", False) else 2
     pending: deque = deque()
     for item in feeder:
         pending.append((item, sess.scan(item.batch)))
-        if len(pending) >= 2:
+        if len(pending) >= depth:
             consume(*pending.popleft())
     while pending:
         consume(*pending.popleft())

@@ -358,8 +358,7 @@ def refined_metrics(jax, jnp, table, C, B0, rng) -> dict:
     xt = table_from_keys(bft.gram_keys, cfg.q)
     exact_lo = jax.device_put(xt.lo.view(np.int32))
     exact_hi = jax.device_put(xt.hi.view(np.int32)) if xt.use_hi else None
-    exact_meta = (xt.dmax, xt.m, xt.c1, xt.c2, xt.n,
-                  bool(cfg.fold_case), xt.use_hi)
+    exact_meta = xt.device_meta(cfg.fold_case)
     k_ref = next_cap(int(min(
         MAX_DEVICE_CAND,
         max(2048, REFINE_HEADROOM * bft.expected_cand_rate() * size),

@@ -96,8 +96,7 @@ def main() -> None:
     xt = table_from_keys(bft.gram_keys, cfg.q)
     exact_lo = jax.device_put(xt.lo.view(np.int32))
     exact_hi = jax.device_put(xt.hi.view(np.int32)) if xt.use_hi else None
-    exact_meta = (xt.dmax, xt.m, xt.c1, xt.c2, xt.n,
-                  bool(cfg.fold_case), xt.use_hi)
+    exact_meta = xt.device_meta(cfg.fold_case)
 
     packed = PACKED_AUTO and _packed_eligible(cfg, data.dtype)
 
@@ -158,10 +157,8 @@ def main() -> None:
     def stage_member(data, b2):
         bits = probe_bits(data, b2)
         base, slotv, n_cand = _grams(data, bits)
-        dmax, m, c1, c2, nmem, fold, use_hi = exact_meta
-        dx = DeviceExact(lo=exact_lo, hi=exact_hi if use_hi else None,
-                         q=cfg.q, dmax=dmax, m=m, c1=c1, c2=c2, n=nmem,
-                         fold_case=fold)
+        dx = DeviceExact.from_meta(exact_lo, exact_hi, cfg.q,
+                                   True, exact_meta)
         keep = exact_member(dx, data.reshape(-1), base, slotv)
         return n_cand + jnp.sum(keep.astype(jnp.int32))
 

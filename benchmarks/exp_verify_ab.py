@@ -162,8 +162,7 @@ def main() -> None:
         exact_lo = jax.device_put(xt.lo.view(np.int32))
         exact_hi = (jax.device_put(xt.hi.view(np.int32))
                     if xt.use_hi else None)
-        exact_meta = (xt.dmax, xt.m, xt.c1, xt.c2, xt.n,
-                      bool(cfg.fold_case), xt.use_hi)
+        exact_meta = xt.device_meta(cfg.fold_case)
         m0, _p0, _g0 = _verify_kernel(
             table_flat, state_gid, data, bounds, bits,
             exact_lo, exact_hi,

@@ -118,3 +118,52 @@ def test_dense_load_placement():
     uni = np.arange(65536, dtype=np.uint64)
     got = member_mask_np(t, uni)
     np.testing.assert_array_equal(got, np.isin(uni, keys))
+
+
+@pytest.mark.parametrize("q", [1, 2, 3, 4, 5])
+def test_membership_brute_force_ushort(q):
+    # 11-bit symbol packing (the alphabet-2048 ushort variant): key
+    # equality must still be gram equality, including symbols straddling
+    # the 32-bit lo/hi boundary (q=3: bit 33; q=4: bit 44; q=5: bit 55)
+    rng = np.random.RandomState(40 + q)
+    grams = _rand_grams(rng, 500, q, alpha=2048)
+    t = build_exact_table(grams, q, bits=11)
+    keys = pack_grams(grams, q, bits=11)
+    assert t.n == len(keys) and t.bits == 11
+    assert member_mask_np(t, keys).all()
+    probe = pack_grams(_rand_grams(rng, 2000, q, alpha=2048), q, bits=11)
+    np.testing.assert_array_equal(
+        member_mask_np(t, probe), np.isin(probe, keys)
+    )
+
+
+@pytest.mark.parametrize("q", [2, 3, 4, 5])
+def test_device_check_matches_host_ushort(q):
+    # the device lo/hi packing (static shifts with 32-bit straddle) must
+    # agree with the host uint64 packing for 11-bit symbols
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(50 + q)
+    data = rng.randint(0, 2048, 4096).astype(np.uint16)
+    grams = {
+        tuple(int(x) for x in data[o : o + q]) for o in range(0, 2000, 7)
+    }
+    grams |= _rand_grams(rng, 300, q, alpha=2048)
+    t = build_exact_table(grams, q, bits=11)
+    dx = DeviceExact.put(t, fold_case=False)
+    base = np.arange(0, len(data) - q, 3, dtype=np.int32)
+    got = np.asarray(
+        exact_member(dx, jnp.asarray(data), jnp.asarray(base),
+                     jnp.ones(len(base), bool))
+    )
+    expect = np.array(
+        [tuple(int(x) for x in data[b : b + q]) in grams for b in base]
+    )
+    np.testing.assert_array_equal(got, expect)
+
+
+def test_pack_grams_rejects_overflow():
+    with pytest.raises(ValueError):
+        pack_grams({(1, 2, 3, 4, 5, 6)}, 6, bits=11)  # 66 > 64 bits
+    with pytest.raises(ValueError):
+        pack_grams({(2048,)}, 1, bits=11)  # symbol out of range

@@ -364,3 +364,61 @@ def test_ushort_stream_longer_than_parse_swath():
         table, max_chunks=2, chunk_len=32, engine="dense", max_results=64
     ).find(text)
     assert got == want
+
+
+def test_ushort_refined_session_parity():
+    # alphabet-2048 sessions now attach exact-gram refinement too (11-bit
+    # key packing): the refined probe's find() must stay oracle-exact and
+    # refinement must actually be on (exact_meta set) for refinable q
+    import numpy as np
+
+    from tpu_pattern_matching.core.dfa import AhoCorasick
+    from tpu_pattern_matching.core.oracle import match_python
+    from tpu_pattern_matching.runtime.session import MatchSession
+
+    rng = np.random.RandomState(77)
+    ac = AhoCorasick(alphabet_size=2048)
+    pats = [tuple(int(x) for x in rng.randint(0, 2048, size=rng.randint(3, 7)))
+            for _ in range(16)]
+    for p in pats:
+        ac.add_pattern(p)
+    table = ac.compile()
+    toks = rng.randint(0, 2048, size=600).astype(np.uint16)
+    for i, pos in enumerate((3, 200, 590)):
+        p = pats[i]
+        toks[pos : pos + len(p)] = p
+    want = sorted(match_python([list(p) for p in pats], toks.tolist()))
+    flow = ",".join(str(int(t)) for t in toks).encode()  # token TEXT
+
+    sess = MatchSession(table, max_chunks=8, chunk_len=128, engine="bloom")
+    if sess.bloom_table.cfg.q * 11 <= 64:
+        assert sess._bloom.exact_meta is not None  # refinement attached
+        assert sess._bloom.exact_meta[-1] == 11  # at ushort symbol width
+    assert sess.find(flow) == want
+
+    # the same through the device-verify path (11-bit exact table inside
+    # the windowed-walk kernel)
+    sessd = MatchSession(table, max_chunks=8, chunk_len=128,
+                         engine="bloom", verify="device")
+    assert sessd.find(flow) == want
+
+
+def test_ushort_bloom_save_load_keeps_alphabet(tmp_path):
+    # the filter dump round-trips alphabet_size (and with it gram_bits),
+    # so a loaded ushort filter still refines with 11-bit keys
+    import numpy as np
+
+    from tpu_pattern_matching.core.dfa import AhoCorasick
+    from tpu_pattern_matching.ops.bloom import BloomFilterTable
+
+    ac = AhoCorasick(alphabet_size=2048)
+    for s in [(40, 1500, 1500), (7, 7, 7, 7)]:
+        ac.add_pattern(s)
+    table = ac.compile()
+    bft = BloomFilterTable.from_table(table)
+    path = str(tmp_path / "f.npz")
+    bft.save(path)
+    back = BloomFilterTable.load(path)
+    assert back.alphabet_size == 2048 and back.gram_bits == 11
+    if bft.gram_keys is not None:
+        np.testing.assert_array_equal(back.gram_keys, bft.gram_keys)

@@ -201,9 +201,16 @@ class BloomFilterTable:
     n_grams: int
     fp_est: float  # expected false-positive rate per tested position
     gram_keys: np.ndarray | None = None  # sorted uint64 packed gram keys
-    # (the EXACT inserted set, ops/exact_gram.pack_grams layout) — feeds
-    # the exact-membership refinement stage; None for q > 8 or loads of
-    # pre-refinement dumps (refinement silently unavailable)
+    # (the EXACT inserted set, ops/exact_gram.pack_grams layout at
+    # ``gram_bits`` per symbol) — feeds the exact-membership refinement
+    # stage; None when q*bits > 64 or for loads of pre-refinement dumps
+    # (refinement silently unavailable)
+    alphabet_size: int = 256  # symbol universe (2048 for the ushort mode)
+
+    @property
+    def gram_bits(self) -> int:
+        """Symbol width of the gram_keys packing (8 byte / 11 ushort)."""
+        return (self.alphabet_size - 1).bit_length()
 
     @staticmethod
     def from_table(table, **kw) -> "BloomFilterTable":
@@ -272,8 +279,10 @@ class BloomFilterTable:
           pipeline sessions actually run: the device pays probe +
           on-device exact-gram refinement (fixed top_k + a headroom-scaled
           per-slot marginal), the host pays only the true-gram residue.
-          Falls back to "joint" pricing when refinement is unavailable
-          (non-byte alphabets). Constants chip-calibrated
+          A config whose grams cannot pack into one uint64 key
+          (q*bits > 64 — never hit by byte alphabets, q > 5 for the
+          ushort/2048 alphabet) runs unrefined, so it is priced with the
+          "joint" formula instead. Constants chip-calibrated
           (exp_verify_ab/exp_refine_stages, round 3 post-top_k): the
           refined pick's device-only exactness measured 3.56 GB/s vs the
           joint pick's 3.33 at the official point, and its refined host
@@ -297,10 +306,7 @@ class BloomFilterTable:
         pats = [list(p) for p in patterns]
         if not pats:
             raise ValueError("no patterns")
-        if objective == "refined" and alphabet_size != 256:
-            # exact-gram refinement is byte-alphabet only (pack_grams);
-            # price the unrefined host-verify pipeline instead
-            objective = "joint"
+        sym_bits = (alphabet_size - 1).bit_length()
         lmin = min(len(p) for p in pats)
         lmax = max(len(p) for p in pats)
         q_max = max(1, min(6, (lmin + 1) // 2))
@@ -403,7 +409,11 @@ class BloomFilterTable:
         # objective="probe"): a soft verify tax + throughput-coupled cap.
         VERIFY_UNITS = 1800.0
 
-        refinable = q_max <= 8 and alphabet_size == 256
+        # a config can run refined iff its grams pack into one uint64 key
+        # (ops/exact_gram.pack_grams): q*bits <= 64 — always true for byte
+        # alphabets at q <= 8, and for the ushort alphabet at q <= 5
+        def refinable(q):
+            return q * sym_bits <= 64
 
         def rate_cap(cost):
             if objective == "refined":
@@ -423,7 +433,7 @@ class BloomFilterTable:
             rate = rate * rate_scale  # union rate over pattern shards
             true_rate = true_rate * rate_scale
             if rate <= rate_cap(cost):
-                if objective == "refined":
+                if objective == "refined" and refinable(q):
                     # device: probe + on-device exact-gram refinement of
                     # ALL candidates; host: native walk of the TRUE-gram
                     # residue only (bloom fp never crosses the D2H)
@@ -434,7 +444,10 @@ class BloomFilterTable:
                     )
                     host_ns = true_rate * verify_ns_per_cand
                     obj = max(dev_ns, host_ns) + 0.05 * (dev_ns + host_ns)
-                elif objective == "joint":
+                elif objective in ("joint", "refined"):
+                    # unrefinable config under the refined objective
+                    # (q*bits > 64): the session runs it UNREFINED, so
+                    # price the host-verify pipeline it will actually get
                     probe_ns = cost * PROBE_NS_PER_UNIT
                     ver_ns = rate * verify_ns_per_cand
                     # probe (device) and verify (host/device stage)
@@ -563,10 +576,10 @@ class BloomFilterTable:
             "sampled" if w else "strided", q, stride, w, k, v, n,
             float(np.prod(dens)),
         )
-        if q <= 8 and alphabet_size == 256:
+        if q * sym_bits <= 64:
             from .exact_gram import pack_grams
 
-            gram_keys = pack_grams(grams, q)
+            gram_keys = pack_grams(grams, q, sym_bits)
         else:
             gram_keys = None
         return BloomFilterTable(
@@ -576,6 +589,7 @@ class BloomFilterTable:
             n_grams=n,
             fp_est=float(np.prod(dens)),
             gram_keys=gram_keys,
+            alphabet_size=alphabet_size,
         )
 
     def expected_cand_rate(self) -> float:
@@ -585,7 +599,7 @@ class BloomFilterTable:
         mode — the chooser's candidate_rate at the CHOSEN config, exposed
         for capacity sizing (the refined-probe k_ref bucket)."""
         cfg = self.cfg
-        true = self.n_grams / float(256.0 ** cfg.q)
+        true = self.n_grams / float(self.alphabet_size) ** cfg.q
         per_pos = min(1.0, true) + self.fp_est
         if cfg.sampled:
             return per_pos * 2.0 / (cfg.w + 1)
@@ -618,6 +632,7 @@ class BloomFilterTable:
             max_pat_len=np.int64(self.max_pat_len),
             n_grams=np.int64(self.n_grams),
             fp_est=np.float64(self.fp_est),
+            alphabet_size=np.int64(self.alphabet_size),
             **(
                 {"gram_keys": self.gram_keys}
                 if self.gram_keys is not None
@@ -645,6 +660,14 @@ class BloomFilterTable:
             n_grams=int(z["n_grams"]),
             fp_est=float(z["fp_est"]),
             gram_keys=z["gram_keys"] if "gram_keys" in z.files else None,
+            alphabet_size=(
+                int(z["alphabet_size"])
+                if "alphabet_size" in z.files
+                else 256  # older dumps lack the field; 256 only
+                # OVERestimates the true-gram rate for an old ushort dump
+                # (larger capacity buckets — safe), and such dumps carry
+                # no gram_keys so refinement stays off anyway
+            ),
         )
 
 
@@ -1134,11 +1157,7 @@ def _hits_refined_jit(
     from .verify_device import bitmap_to_candidates
 
     n_cand, lane, row, over = bitmap_to_candidates(bits, cfg.stride, k_ref)
-    dmax, m, c1, c2, nmem, fold, use_hi = exact_meta
-    dx = DeviceExact(
-        lo=exact_lo, hi=exact_hi if use_hi else None, q=cfg.q,
-        dmax=dmax, m=m, c1=c1, c2=c2, n=nmem, fold_case=fold,
-    )
+    dx = DeviceExact.from_meta(exact_lo, exact_hi, cfg.q, True, exact_meta)
     slotv = (
         jax.lax.broadcasted_iota(jnp.int32, (k_ref, 1), 0).squeeze(-1)
         < n_cand
@@ -1183,12 +1202,16 @@ class DeviceBloom:
         # on the CPU mesh (slow, small shapes only)
         return jax.default_backend() == "cpu"
 
-    def attach_exact(self, gram_keys, k_ref: int, sharding=None) -> None:
+    def attach_exact(
+        self, gram_keys, k_ref: int, sharding=None, bits: int = 8
+    ) -> None:
         """Enable exact-gram refinement on this probe: candidates whose
         gram is not in ``gram_keys`` (the builder's inserted set) never
         reach the host. ``k_ref`` is the static candidate-capacity bucket
         (size from BloomFilterTable.expected_cand_rate x batch bytes —
-        overflow passes the unrefined bitmap through, graceful)."""
+        overflow passes the unrefined bitmap through, graceful).
+        ``bits`` is the gram_keys symbol width
+        (BloomFilterTable.gram_bits)."""
         from .exact_gram import table_from_keys
 
         put = (
@@ -1196,13 +1219,10 @@ class DeviceBloom:
             if sharding is not None
             else jax.device_put
         )
-        xt = table_from_keys(gram_keys, self.cfg.q)
+        xt = table_from_keys(gram_keys, self.cfg.q, bits=bits)
         self.exact_lo = put(xt.lo.view(np.int32))
         self.exact_hi = put(xt.hi.view(np.int32)) if xt.use_hi else None
-        self.exact_meta = (
-            xt.dmax, xt.m, xt.c1, xt.c2, xt.n,
-            bool(self.cfg.fold_case), xt.use_hi,
-        )
+        self.exact_meta = xt.device_meta(self.cfg.fold_case)
         self.k_ref = int(k_ref)
 
     def hits(self, data, bounds) -> BloomHits:

@@ -17,8 +17,9 @@ own a match (coverage guarantees every true occurrence contains an
 inserted gram at a probed position — MATCHING.md; erasing non-members
 only redistributes the ownership intervals among remaining candidates,
 the same argument ops/verify_device.py makes for its keep intervals), so
-refinement is exact: for q <= 4 the 32-bit key IS the gram, for
-q in 5..8 the 64-bit key is the gram — zero residual false positives.
+refinement is exact: whenever q*bits <= 64 the packed key IS the gram
+(8-bit symbols for the byte alphabet, 11-bit for the ushort/2048
+variant) — zero residual false positives.
 
 Cost: ~DMAX+q/4+1 gathers per candidate (~0.1 us) vs ~0.7 us for a
 window walk — the walk then runs only on true gram occurrences, and the
@@ -49,22 +50,25 @@ def _mix32_np(lo: np.ndarray, hi: np.ndarray, c1: np.uint32, c2: np.uint32):
     return h ^ (h >> np.uint32(13))
 
 
-def pack_grams(grams, q: int) -> np.ndarray:
-    """Gram tuples -> sorted unique uint64 keys, symbol i at bits 8i.
+def pack_grams(grams, q: int, bits: int = 8) -> np.ndarray:
+    """Gram tuples -> sorted unique uint64 keys, symbol i at bit ``bits*i``.
 
-    Byte alphabet only (the bloom engine's domain): q <= 8 symbols of
-    8 bits each fit one uint64 key, so key equality IS gram equality —
-    the exactness of the whole scheme rests on this line."""
-    if q > 8:
-        raise ValueError(f"exact gram table needs q <= 8, got {q}")
+    ``bits`` is the symbol width: 8 for the byte alphabet, 11 for the
+    ushort (alphabet-2048) variant. q*bits <= 64 symbols fit one uint64
+    key, so key equality IS gram equality — the exactness of the whole
+    scheme rests on this line."""
+    if q * bits > 64:
+        raise ValueError(
+            f"exact gram table needs q*bits <= 64, got q={q} bits={bits}"
+        )
     if not grams:
         return np.zeros(0, np.uint64)
     arr = np.asarray(sorted(grams), np.uint64).reshape(-1, q)
-    if arr.max() > 255:
-        raise ValueError("exact gram table is byte-alphabet only")
+    if arr.max() >> np.uint64(bits):
+        raise ValueError(f"gram symbol out of range for {bits}-bit packing")
     key = np.zeros(len(arr), np.uint64)
     for i in range(q):
-        key |= arr[:, i] << np.uint64(8 * i)
+        key |= arr[:, i] << np.uint64(bits * i)
     return np.unique(key)
 
 
@@ -86,15 +90,28 @@ class ExactGramTable:
     c1: int  # per-build hash constants (reseeded until placement fits)
     c2: int
     n: int  # member count
+    bits: int = 8  # symbol width (8 = byte alphabet, 11 = ushort/2048)
 
     @property
     def use_hi(self) -> bool:
-        return self.q > 4
+        return self.q * self.bits > 32
+
+    def device_meta(self, fold_case: bool) -> tuple:
+        """The static lookup-parameter tuple every traced consumer takes
+        (bloom._hits_refined_jit, verify_device._verify_kernel, the mesh
+        and pshard count steps) — one constructor so the layout has one
+        owner."""
+        return (
+            self.dmax, self.m, self.c1, self.c2, self.n,
+            bool(fold_case), self.use_hi, self.bits,
+        )
 
 
-def build_exact_table(grams, q: int, seed: int = 0) -> ExactGramTable:
+def build_exact_table(
+    grams, q: int, seed: int = 0, bits: int = 8
+) -> ExactGramTable:
     """Build from gram tuples (packs, then places)."""
-    return table_from_keys(pack_grams(grams, q), q, seed)
+    return table_from_keys(pack_grams(grams, q, bits), q, seed, bits)
 
 
 _DMAX = 4
@@ -132,7 +149,7 @@ def _try_place(
 
 
 def _fill_table(
-    keys: np.ndarray, slot: np.ndarray, q, dmax, m, c1, c2
+    keys: np.ndarray, slot: np.ndarray, q, dmax, m, c1, c2, bits
 ) -> ExactGramTable:
     lo_all = (keys & _MASK32).astype(np.uint32)
     hi_all = (keys >> np.uint64(32)).astype(np.uint32)
@@ -143,12 +160,12 @@ def _fill_table(
     hi[slot] = hi_all
     return ExactGramTable(
         lo=lo, hi=hi, q=q, dmax=dmax, m=m,
-        c1=int(c1), c2=int(c2), n=len(keys),
+        c1=int(c1), c2=int(c2), n=len(keys), bits=bits,
     )
 
 
 def table_from_keys(
-    keys: np.ndarray, q: int, seed: int = 0
+    keys: np.ndarray, q: int, seed: int = 0, bits: int = 8
 ) -> ExactGramTable:
     """Place every key within ``dmax`` linear-probe slots of its hash.
 
@@ -157,11 +174,11 @@ def table_from_keys(
     after dmax greedy rounds, reseed the hash; after a few seeds, double
     the table. Load factor starts at <= 0.5 so placement virtually always
     succeeds on the first try."""
-    return tables_from_keys_common([keys], q, seed)[0]
+    return tables_from_keys_common([keys], q, seed, bits)[0]
 
 
 def tables_from_keys_common(
-    keys_list, q: int, seed: int = 0
+    keys_list, q: int, seed: int = 0, bits: int = 8
 ) -> list[ExactGramTable]:
     """Build one table per key set, all sharing (m, dmax, c1, c2).
 
@@ -201,11 +218,11 @@ def tables_from_keys_common(
                                 lo=np.zeros(m + dmax, np.uint32),
                                 hi=np.zeros(m + dmax, np.uint32),
                                 q=q, dmax=dmax, m=m,
-                                c1=int(c1), c2=int(c2), n=0,
+                                c1=int(c1), c2=int(c2), n=0, bits=bits,
                             ))
                         else:
                             out.append(
-                                _fill_table(k, s, q, dmax, m, c1, c2)
+                                _fill_table(k, s, q, dmax, m, c1, c2, bits)
                             )
                     return out
         attempts = [(d, m * 2) for d, m in attempts]
@@ -240,7 +257,7 @@ class DeviceExact:
     """Device-resident planes + static lookup parameters."""
 
     lo: object  # jax [M + dmax] int32
-    hi: object | None  # jax [M + dmax] int32, None when q <= 4
+    hi: object | None  # jax [M + dmax] int32, None when q*bits <= 32
     q: int
     dmax: int
     m: int
@@ -248,6 +265,7 @@ class DeviceExact:
     c2: int
     n: int
     fold_case: bool
+    bits: int = 8  # symbol width (pack_grams layout)
 
     @staticmethod
     def put(table: ExactGramTable, fold_case: bool, sharding=None):
@@ -268,6 +286,18 @@ class DeviceExact:
             c2=table.c2,
             n=table.n,
             fold_case=fold_case,
+            bits=table.bits,
+        )
+
+    @staticmethod
+    def from_meta(lo, hi, q: int, fold_case_allowed: bool, meta: tuple):
+        """Rehydrate from the static ``ExactGramTable.device_meta`` tuple
+        (the form traced consumers receive)."""
+        dmax, m, c1, c2, n, fold, use_hi, bits = meta
+        return DeviceExact(
+            lo=lo, hi=hi if use_hi else None, q=q, dmax=dmax, m=m,
+            c1=c1, c2=c2, n=n,
+            fold_case=fold and fold_case_allowed, bits=bits,
         )
 
 
@@ -297,10 +327,18 @@ def exact_member(dx: DeviceExact, data_flat, base, valid):
         ).astype(jnp.int32)
         if dx.fold_case:
             s = jnp.where((s >= 65) & (s <= 90), s + 32, s)
-        if i < 4:
-            lo = lo | jax.lax.shift_left(s, jnp.int32(8 * i))
+        # place symbol i at key bit bits*i; the pack_grams uint64 layout
+        # splits into (lo, hi) 32-bit planes, so a symbol straddling bit
+        # 32 contributes its low part to lo (the high bits fall off the
+        # int32 shift — intended) and its high part to hi
+        bp = dx.bits * i
+        if bp + dx.bits <= 32:
+            lo = lo | jax.lax.shift_left(s, jnp.int32(bp))
+        elif bp >= 32:
+            hi = hi | jax.lax.shift_left(s, jnp.int32(bp - 32))
         else:
-            hi = hi | jax.lax.shift_left(s, jnp.int32(8 * (i - 4)))
+            lo = lo | jax.lax.shift_left(s, jnp.int32(bp))
+            hi = hi | jax.lax.shift_right_logical(s, jnp.int32(32 - bp))
     h = lo * jnp.int32(np.int32(np.uint32(dx.c1))) + hi * jnp.int32(
         np.int32(np.uint32(dx.c2))
     )

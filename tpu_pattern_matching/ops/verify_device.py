@@ -185,9 +185,9 @@ def _verify_kernel(
     k_cand: int,
     k_ev: int,
     num_groups: int,
-    exact_meta: tuple | None = None,  # (dmax, m, c1, c2, n, fold_case,
-    # use_hi) static lookup parameters for the exact-gram refinement
-    # stage (ops/exact_gram.py); None disables refinement
+    exact_meta: tuple | None = None,  # ExactGramTable.device_meta tuple:
+    # static lookup parameters for the exact-gram refinement stage
+    # (ops/exact_gram.py); None disables refinement
     k_walk: int | None = None,  # candidate capacity AFTER refinement
     # (the walk/event stages run at this width); defaults to k_cand
     prefetch_windows="auto",  # "bitcast" | "rowgather" | False | "auto"
@@ -227,13 +227,7 @@ def _verify_kernel(
     if exact_meta is not None:
         from .exact_gram import DeviceExact, exact_member
 
-        dmax_x, m_x, c1_x, c2_x, n_x_members, fold_x, use_hi_x = exact_meta
-        dx = DeviceExact(
-            lo=exact_lo,
-            hi=exact_hi if use_hi_x else None,
-            q=q, dmax=dmax_x, m=m_x, c1=c1_x, c2=c2_x,
-            n=n_x_members, fold_case=fold_x,
-        )
+        dx = DeviceExact.from_meta(exact_lo, exact_hi, q, True, exact_meta)
         base_g = jnp.minimum(lane, C - 1) * T + jnp.minimum(row, T - 1)
         keep = exact_member(dx, data_flat, base_g, cand_valid)
         kw = k_walk if k_walk is not None else k_cand
@@ -527,15 +521,15 @@ class DeviceVerifier:
         if gram_keys is not None and len(gram_keys):
             from .exact_gram import table_from_keys
 
-            xt = table_from_keys(gram_keys, cfg.q)
+            xt = table_from_keys(
+                gram_keys, cfg.q,
+                bits=(table.alphabet_size - 1).bit_length(),
+            )
             self.exact_lo = put(xt.lo.view(np.int32))
             self.exact_hi = (
                 put(xt.hi.view(np.int32)) if xt.use_hi else None
             )
-            self.exact_meta = (
-                xt.dmax, xt.m, xt.c1, xt.c2, xt.n,
-                bool(cfg.fold_case), xt.use_hi,
-            )
+            self.exact_meta = xt.device_meta(cfg.fold_case)
 
     def _dispatch(self, data, bounds, bits, k_cand: int, k_ev: int,
                   k_walk: int):

@@ -210,13 +210,14 @@ def make_sharded_bloom_count_step(
         from tpu_pattern_matching.ops.exact_gram import table_from_keys
 
         rep = jax.sharding.NamedSharding(ctx.mesh, P())
-        xt = table_from_keys(gram_keys, cfg.q)
+        xt = table_from_keys(
+            gram_keys, cfg.q, bits=(table.alphabet_size - 1).bit_length()
+        )
         exact_lo = jax.device_put(xt.lo.view(np.int32), rep)
         exact_hi = (
             jax.device_put(xt.hi.view(np.int32), rep) if xt.use_hi else None
         )
-        exact_meta = (xt.dmax, xt.m, xt.c1, xt.c2, xt.n,
-                      bool(cfg.fold_case), xt.use_hi)
+        exact_meta = xt.device_meta(cfg.fold_case)
     kw = k_walk if k_walk is not None else k_cand
 
     def local_step(words, table_flat, state_gid, data, bounds):

@@ -503,11 +503,16 @@ def make_pattern_sharded_count_step(
             tables_from_keys_common,
         )
 
-        xts = tables_from_keys_common(shard_gram_keys, cfg.q)
+        xts = tables_from_keys_common(
+            shard_gram_keys, cfg.q,
+            bits=(alphabet_size - 1).bit_length(),
+        )
         x0 = xts[0]
+        # shared static meta across shards: n differs per shard and is
+        # only consumed by the n==0 early-out, so min() is the safe pick
         exact_meta = (x0.dmax, x0.m, x0.c1, x0.c2,
                       min(t.n for t in xts), bool(cfg.fold_case),
-                      x0.use_hi)
+                      x0.use_hi, x0.bits)
         pat_sh = jax.sharding.NamedSharding(
             ctx.mesh, P("pat") if ctx.mesh.shape["pat"] > 1 else P()
         )

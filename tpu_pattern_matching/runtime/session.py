@@ -326,7 +326,8 @@ class MatchSession:
                 )
             )
             self._bloom.attach_exact(
-                self.bloom_table.gram_keys, k_ref, sharding
+                self.bloom_table.gram_keys, k_ref, sharding,
+                bits=self.bloom_table.gram_bits,
             )
         self.max_chunks = max_chunks
         self.chunk_len = chunk_len

@@ -116,3 +116,39 @@ def test_bitcast_byte_order_and_device_verify_on_hardware():
     sess = MatchSession(compile_patterns(pats), max_chunks=64,
                         chunk_len=512, engine="bloom", verify="device")
     assert sess.find(data) == sorted(match_python(pats, data))
+
+
+def test_refined_ushort_session_on_hardware():
+    # the Mosaic-compiled alphabet-2048 probe with the exact-gram
+    # refinement stage fused in (11-bit key packing: straddles the 32-bit
+    # lo/hi boundary at q >= 3) — refined find() must stay oracle-exact
+    # on real silicon, and refinement must be attached
+    import numpy as np
+
+    from tpu_pattern_matching.core.dfa import AhoCorasick
+    from tpu_pattern_matching.core.oracle import match_python
+    from tpu_pattern_matching.runtime.session import MatchSession
+
+    rng = np.random.RandomState(21)
+    ac = AhoCorasick(alphabet_size=2048)
+    pats = [tuple(int(x) for x in rng.randint(0, 2048,
+                                              size=rng.randint(4, 9)))
+            for _ in range(64)]
+    for p in pats:
+        ac.add_pattern(p)
+    table = ac.compile()
+    toks = rng.randint(0, 2048, size=4000).astype(np.uint16)
+    for i, pos in enumerate((0, 1500, 3990)):
+        p = pats[i]
+        toks[pos : pos + len(p)] = p
+    flow = ",".join(str(int(t)) for t in toks).encode()
+    want = sorted(match_python([list(p) for p in pats], toks.tolist()))
+
+    sess = MatchSession(table, max_chunks=16, chunk_len=256,
+                        engine="bloom")
+    if sess.bloom_table.cfg.q * 11 <= 64:
+        assert sess._bloom.exact_meta is not None
+    assert sess.find(flow) == want
+    sessd = MatchSession(table, max_chunks=16, chunk_len=256,
+                         engine="bloom", verify="device")
+    assert sessd.find(flow) == want

@@ -27,6 +27,15 @@ def test_signature_parsing(tmp_path):
     long.write_text(",".join(str(i) for i in range(30)) + "; 30; long\n")
     p = load_signature_file(str(long), max_tokens=16)
     assert len(p[0].data) == 16
+    # atoi-parity on noisy tokens: the reference's OWN shipped traces
+    # (AC_ushorts/input/*.signatures) contain tshark artifacts such as
+    # "1460[Reassembly..." which its atoi parse reads as 1460
+    # (iacsm_add_fullpattern, AC_ushorts/iacsmx.c:418-451); tokens with no
+    # leading digits are skipped (atoi would insert 0 — saner delta)
+    noisy = tmp_path / "noisy.txt"
+    noisy.write_text("40,1460[ReassemblyTime=0.1],junk,32,\n")
+    p = load_signature_file(str(noisy))
+    assert p[0].data == (40, 1460, 32)
 
 
 def test_flow_line_parsing():

@@ -20,8 +20,11 @@ Reproduces the reference's pattern ingestion behavior:
 from __future__ import annotations
 
 import dataclasses
+import re
 
 from tpu_pattern_matching.utils.common import hex_to_bytes
+
+_LEAD_DIGITS = re.compile(r"\d+")
 
 MAX_PAT_SIZE = 4096  # reference utils.h:14
 
@@ -105,8 +108,16 @@ def load_signature_file(path: str, max_tokens: int = 16) -> list[ParsedPattern]:
             parts = line.split(";")
             seq_txt = parts[0]
             label = parts[2].strip() if len(parts) > 2 else ""
+            # leading-digits parse, like the reference's atoi
+            # (iacsm_add_fullpattern, AC_ushorts/iacsmx.c:418-451): its
+            # own shipped traces carry tshark noise such as
+            # "1460[Reassembly..." which atoi reads as 1460. Delta: a
+            # token with NO leading digits is skipped rather than
+            # silently inserted as 0 (what atoi would do).
             seq = tuple(
-                int(tok) for tok in seq_txt.split(",") if tok.strip() != ""
+                int(m.group())
+                for tok in seq_txt.split(",")
+                if (m := _LEAD_DIGITS.match(tok.strip()))
             )[:max_tokens]
             if not seq:
                 continue

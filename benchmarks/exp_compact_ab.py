@@ -106,6 +106,22 @@ def main() -> None:
         n = jnp.sum(flags.astype(jnp.int32))
         return n + widx[0]
 
+    def arm_sortsel(b2):
+        # full-sort selection: lax.sort over the same keys, slice the top
+        # k from the tail and reverse — candidate replacement for top_k
+        # (CLAUDE.md: device sort is vectorized at tens of us for 1e5-1e6)
+        wordsT = b2.T
+        flags = (wordsT != 0).reshape(-1)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0).squeeze(-1)
+        val = jnp.where(flags, jnp.int32(N) - iota, jnp.int32(-1))
+        srt = jax.lax.sort(val, is_stable=False)
+        top = jax.lax.rev(
+            jax.lax.slice_in_dim(srt, N - k_ref, N), (0,)
+        )
+        widx = jnp.where(top >= 0, jnp.int32(N) - top, jnp.int32(N))
+        n = jnp.sum(flags.astype(jnp.int32))
+        return n + widx[0]
+
     # raw primitives
     def prim_cumsum1d(b2):
         return jnp.cumsum((b2.reshape(-1) != 0).astype(jnp.int32))[-1]
@@ -129,15 +145,22 @@ def main() -> None:
         top, _ = jax.lax.top_k(val, k_ref)
         return top[0] + top[-1]
 
+    def prim_sort(b2):
+        val = jnp.where(b2.reshape(-1) != 0, jnp.int32(1), jnp.int32(-1))
+        srt = jax.lax.sort(val, is_stable=False)
+        return srt[0] + srt[-1]
+
     arms = [
         ("flat", arm_flat),
         ("hier", arm_hier),
         ("topk", arm_topk),
+        ("sortsel", arm_sortsel),
         ("p_cumsum1d", prim_cumsum1d),
         ("p_cumsum2d", prim_cumsum2d),
         ("p_transpose", prim_transpose),
         ("p_scatter", prim_scatter),
         ("p_topk", prim_topk),
+        ("p_sort", prim_sort),
     ]
 
     def kloop(fn):

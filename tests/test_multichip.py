@@ -210,6 +210,52 @@ def test_session_mesh_bloom_group_counts(mesh_ctx):
     np.testing.assert_array_equal(allreduce_host_counts(got), got)
 
 
+def test_session_mesh_device_verify_events(mesh_ctx):
+    # VERDICT r3 item 1: verify='device' composes with mesh= — the full
+    # verify pipeline runs per shard under shard_map, events come back
+    # lane-sharded, and the session decode is oracle-exact with zero host
+    # CPU in the verify loop
+    patterns = [b"\xde\xad\xbe\xef", b"needle!", b"abcab"]
+    data, _ = planted_binary(5, 1 << 14, patterns, 40)
+    expect = sorted(match_python(patterns, data))
+    sess = MatchSession(
+        compile_patterns(patterns),
+        max_chunks=16,
+        chunk_len=128,
+        engine="bloom",
+        mesh=mesh_ctx,
+        verify="device",
+    )
+    assert sess._dvf_mesh is not None
+    assert sess.find(data) == expect
+
+    # counts path: globally-reduced gcounts from the same step must match
+    # host-verified event counts
+    buf = sess.new_buffer()
+    buf.add_stream(io.BytesIO(data), StreamState(file_id=0))
+    batch = buf.to_batch()
+    comp = sess.scan(batch)
+    n_ev, gc = sess.decode_counts(batch, comp)
+    want_pos = {off for off, _ in match_python(patterns, data)}
+    assert n_ev == len(want_pos)
+    assert int(gc.sum()) == len(want_pos)
+
+
+def test_mesh_device_verify_event_overflow_retry(mesh_ctx):
+    # match-dense input: the first dispatch's event capacity overflows and
+    # the replicated `needs` drives an SPMD-safe retry with the exact need
+    patterns = [b"ababab"]
+    data = b"ab" * (1 << 13)  # a match every 2 bytes
+    table = compile_patterns(patterns)
+    expect = sorted(match_python(patterns, data))
+    sess = MatchSession(
+        table, max_chunks=16, chunk_len=256,
+        engine="bloom", mesh=mesh_ctx, verify="device",
+    )
+    got = sess.find(data)
+    assert got == expect and len(expect) > 1000
+
+
 def test_sharded_bloom_rejects_unaligned_lanes(mesh_ctx):
     # ADVICE round 1: an unaligned per-shard lane count would silently
     # corrupt the bitmap's column->lane mapping; it must be a loud error

@@ -143,7 +143,45 @@ _WORKER = textwrap.dedent(
     if pid == 0:
         m = re.search(r"Matches:\\s+(\\d+)", text)
         assert m and int(m.group(1)) == len(want), (m, len(want))
-    print(f"proc {pid} OK total={t} cli_events={len(got)}", flush=True)
+
+    # ---- pattern shards x multi-process (VERDICT r3 item 2): the
+    # ("pat", "data") grid built so each process owns ALL pat rows of its
+    # data columns — each host feeds only ITS lanes, decodes only ITS
+    # events, and the per-host event sets are oracle-exact on disjoint
+    # payloads (the union across hosts is then exact by construction).
+    from tpu_pattern_matching.runtime.buffers import StreamState
+    from tpu_pattern_matching.runtime.session import MatchSession
+
+    sessP = MatchSession(
+        table, max_chunks=256, chunk_len=64, engine="bloom",
+        mesh="all", pat_shards=2,
+    )
+    grid = sessP._pshard_ctx.mesh.devices
+    for col in range(grid.shape[1]):
+        owners = {d.process_index for d in grid[:, col]}
+        assert len(owners) == 1, (col, owners)  # column-per-process
+    payload = bytearray(
+        np.random.RandomState(1000 + pid).randint(
+            0, 256, size=6000
+        ).astype(np.uint8)
+    )
+    # 6000 bytes fit this host's 128-lane x 64 B shard in one batch
+    for pos in (17 + pid, 3000, 5800 - 13 * pid):
+        payload[pos : pos + 8] = pats[(pos + pid) % 16]
+    payload = bytes(payload)
+    buf = sessP.new_buffer()
+    assert buf.max_chunks == sessP.local_chunks
+    buf.add_stream(io.BytesIO(payload), StreamState(file_id=pid))
+    batch = buf.to_batch()
+    bm = sessP.decode(batch, sessP.scan(batch))
+    got_p = sorted(
+        (e, p) for ev in bm.events for (e, p) in ev.expand()
+    )
+    want_p = sorted(match_python(pats, payload))
+    assert got_p == want_p, (pid, len(got_p), len(want_p))
+
+    print(f"proc {pid} OK total={t} cli_events={len(got)} "
+          f"pshard_events={len(got_p)}", flush=True)
     """
 )
 

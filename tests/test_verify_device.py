@@ -119,11 +119,25 @@ def test_device_verify_ushort_alphabet():
     assert got == [(3, 0), (6, 1), (7, 1)]
 
 
-def test_device_verify_mesh_rejected():
-    with pytest.raises(ValueError, match="sharded_bloom_count_step"):
+def test_device_verify_mesh_composes_pshard_rejected():
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multi-device (simulated CPU mesh)")
+    # round 4: verify='device' + mesh= is a supported composition (the
+    # MeshDeviceVerifier path, test_multichip.py); only the pat-sharded
+    # 2D mesh still rejects it — walking the union bitmap against the
+    # GLOBAL table would defeat the 1/S-table-per-chip point
+    sess = MatchSession(
+        compile_patterns([b"xy"]), max_chunks=256, chunk_len=64,
+        engine="bloom", verify="device", mesh=2,
+    )
+    assert sess._dvf_mesh is not None
+    with pytest.raises(ValueError, match="pat_shards"):
         MatchSession(
-            compile_patterns([b"xy"]), max_chunks=256, chunk_len=64,
-            engine="bloom", verify="device", mesh=2,
+            compile_patterns([b"xy", b"qrs"]), max_chunks=256,
+            chunk_len=64, engine="bloom", verify="device", mesh=2,
+            pat_shards=2,
         )
 
 

@@ -38,6 +38,14 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 # platform selection at interpreter start (see tests/conftest.py);
 # config.update after import wins. TPM_FUZZ_TPU=1 opts into real devices.
 if not os.environ.get("TPM_FUZZ_TPU"):
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        # a small virtual device mesh so the mesh arms run in the same
+        # campaign (2 devices is enough to exercise shard_map + psum +
+        # the lane-sharded event/bitmap decode)
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=2"
+        ).strip()
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -46,6 +54,7 @@ ALPHABETS = [2, 4, 16, 64, 256]
 USHORT_ALPHABETS = [8, 64, 2048]  # token values (table width stays 2048)
 USHORT_EVERY = 3  # trials also running the ushort arm set
 TEXT_EVERY = 3  # trials (mod 3 == 1) also running the text-mode arm set
+MESH_EVERY = 4  # trials (mod 4 == 2) also running the mesh arm set
 
 
 def run_trial(trial: int, master_seed: int) -> dict:
@@ -103,6 +112,15 @@ def run_trial(trial: int, master_seed: int) -> dict:
         arms["pat_shards"] = dict(
             engine="bloom",
             pat_shards=int(rng.randint(2, min(5, len(pat_list) + 1))),
+        )
+    import jax
+
+    if len(jax.devices()) >= 2 and trial % MESH_EVERY == 2:
+        # meshed session arms: lane-sharded probe + host decode, and the
+        # round-4 MeshDeviceVerifier (lane-sharded device events)
+        arms["mesh_bloom"] = dict(engine="bloom", mesh=2)
+        arms["mesh_device_verify"] = dict(
+            engine="bloom", mesh=2, verify="device"
         )
     arms["dense"] = dict(engine="dense", max_results=256)
 

@@ -283,6 +283,10 @@ def make_sharded_bloom_step(ctx: MeshContext, bloom):
     replicated bloom words (the reference's replicated-DFA-per-worker
     layout, as a sharding); the survivor total is ``psum``-reduced across
     the mesh while the bitmap stays lane-sharded for local host decode.
+
+    Returns ``(meta [2], bits)`` where ``meta[0]`` is the global survivor
+    total and ``meta[1]`` the MAX per-shard total — the capacity bound the
+    meshed device-verify stage buckets with (:class:`MeshDeviceVerifier`).
     """
     try:
         from jax import shard_map
@@ -309,7 +313,10 @@ def make_sharded_bloom_step(ctx: MeshContext, bloom):
             data, bounds, words, cfg=cfg,
             interpret=DeviceBloom._interpret(),
         )
-        return jax.lax.psum(total, axis), bits
+        meta = jnp.concatenate(
+            [jax.lax.psum(total, axis), jax.lax.pmax(total, axis)]
+        )
+        return meta, bits
 
     return jax.jit(
         shard_map(
@@ -320,3 +327,214 @@ def make_sharded_bloom_step(ctx: MeshContext, bloom):
             check_vma=False,  # pallas_call outputs carry no vma metadata
         )
     )
+
+
+class MeshDeviceVerifier:
+    """Lane-sharded device verify for EVENTS on a data-parallel mesh.
+
+    The last capability the reference's kernel had over the meshed bloom
+    engine: exact ``(pattern_set, offset)`` emission from the device in
+    EVERY configuration (ahomatch.cl:63-74 — its kernel records pattern id
+    + absolute end offset in-kernel, whether one GPU or N worker threads).
+    Until round 4 a meshed session verified host-side per lane shard; this
+    runs the full device verify pipeline (ops/verify_device._verify_kernel:
+    candidate compaction, exact-gram refinement, windowed dense-table walk,
+    attribution dedupe) PER SHARD under shard_map:
+
+    - the dense table / exact-gram tables replicate (closure-captured
+      device constants, like the count step's);
+    - packed ``(lane, end, state)`` event tuples come back LANE-SHARDED
+      (``P(None, "data")``) — events stay host-local to the process that
+      owns the lanes, exactly like the bitmap decode path, so multi-host
+      verbose grep needs zero host CPU in the verify loop and no cross-DCN
+      event gather;
+    - per-group counts psum to a replicated [G] (the config-5 workload);
+    - ``needs`` (replicated [4]: global exact event total, max per-shard
+      events, max per-shard refined candidates, OR of overflow flags)
+      drives capacity retries identically on every process — the retry
+      decision is SPMD-safe by construction.
+
+    Capacities are static per compile and bucketed from the probe step's
+    MAX per-shard survivor total (``make_sharded_bloom_step`` meta[1]), so
+    candidate overflow cannot happen below MAX_DEVICE_CAND and compile
+    count stays log-bounded; event/refine overflow retries with the exact
+    reported need, mirroring the single-chip DeviceVerifier.
+    """
+
+    def __init__(self, ctx: MeshContext, table, cfg, halo: int,
+                 gram_keys=None):
+        self.ctx = ctx
+        rep = ctx.replicated
+        put = lambda x: jax.device_put(x, rep)  # noqa: E731
+        self.table_flat = put(
+            np.ascontiguousarray(table.goto_signed).reshape(-1)
+        )
+        self.state_gid = put(table.state_gid.astype(np.int32))
+        self.alphabet_size = table.alphabet_size
+        self.lmax = table.max_pat_len
+        self.num_groups = table.num_groups
+        self.stride = cfg.stride
+        self.q = cfg.q
+        self.halo = halo
+        self.exact_lo = self.exact_hi = None
+        self.exact_meta = None
+        self._k_walk = 256  # sticky refined-capacity bucket (SPMD-safe:
+        # updated from the replicated `needs`, so identical per process)
+        self._steps: dict[tuple[int, int, int], object] = {}
+        if gram_keys is not None and len(gram_keys):
+            from tpu_pattern_matching.ops.exact_gram import table_from_keys
+
+            xt = table_from_keys(
+                gram_keys, cfg.q,
+                bits=(table.alphabet_size - 1).bit_length(),
+            )
+            self.exact_lo = put(xt.lo.view(np.int32))
+            self.exact_hi = (
+                put(xt.hi.view(np.int32)) if xt.use_hi else None
+            )
+            self.exact_meta = xt.device_meta(cfg.fold_case)
+
+    def _step(self, k_cand: int, k_ev: int, k_walk: int):
+        key = (k_cand, k_ev, k_walk)
+        if key in self._steps:
+            return self._steps[key]
+        try:
+            from jax import shard_map
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
+
+        from tpu_pattern_matching.ops.verify_device import _verify_kernel
+
+        axis = self.ctx.axis
+
+        def local_step(data, bounds, bits):
+            meta, packed, gcounts = _verify_kernel(
+                self.table_flat,
+                self.state_gid,
+                data,
+                bounds,
+                bits,
+                self.exact_lo,
+                self.exact_hi,
+                alphabet_size=self.alphabet_size,
+                stride=self.stride,
+                q=self.q,
+                lmax=self.lmax,
+                halo=self.halo,
+                k_cand=k_cand,
+                k_ev=k_ev,
+                num_groups=self.num_groups,
+                exact_meta=self.exact_meta,
+                k_walk=k_walk,
+            )
+            # flags are a BITMASK: OR across shards via per-bit pmax
+            flags_or = (
+                jax.lax.pmax(meta[3] & 1, axis)
+                | jax.lax.pmax(meta[3] & 2, axis)
+                | jax.lax.pmax(meta[3] & 4, axis)
+            )
+            needs = jnp.stack(
+                [
+                    jax.lax.psum(meta[0], axis),  # exact global events
+                    jax.lax.pmax(meta[0], axis),  # max per-shard events
+                    jax.lax.pmax(meta[4], axis),  # max per-shard refined
+                    flags_or,
+                ]
+            )
+            return needs, meta[None], packed, jax.lax.psum(gcounts, axis)
+
+        step = jax.jit(
+            shard_map(
+                local_step,
+                mesh=self.ctx.mesh,
+                in_specs=(P(axis), P(None, axis), P(None, axis)),
+                out_specs=(P(), P(axis, None), P(None, axis), P()),
+                check_vma=False,
+            )
+        )
+        self._steps[key] = step
+        return step
+
+    def _assemble(self, metas, packed, k_ev: int, C_local: int):
+        """Host-local (lane, end, state) arrays from the lane-sharded
+        packed tuples: each addressable shard's block rebases its local
+        lane ids by the shard's global lane offset, then by this host's
+        first lane — the same contiguous-per-process device-order
+        assumption the bitmap decode makes (session._candidate_rows)."""
+        per_meta: dict[int, np.ndarray] = {}
+        for sh in metas.addressable_shards:
+            d = sh.index[0].start or 0
+            per_meta[d] = np.asarray(sh.data)[0]
+        lanes, ends, states = [], [], []
+        seen: set[int] = set()
+        for sh in packed.addressable_shards:
+            col0 = sh.index[1].start or 0
+            d = col0 // k_ev
+            if d in seen:
+                continue
+            seen.add(d)
+            rep = int(per_meta[d][1])
+            if not rep:
+                continue
+            blk = np.asarray(sh.data)[:, :rep]
+            lanes.append(blk[0].astype(np.int64) + d * C_local)
+            ends.append(blk[1].astype(np.int64))
+            states.append(blk[2].astype(np.int64))
+        lane0 = min(seen) * C_local if seen else 0
+        if not lanes:
+            z = np.zeros(0, np.int64)
+            return z, z, z
+        return (
+            np.concatenate(lanes) - lane0,
+            np.concatenate(ends),
+            np.concatenate(states),
+        )
+
+    def verify(self, data, bounds, bits, total_max: int):
+        """(n_events_global, lanes, ends, states, gcounts): exact device
+        events for THIS HOST's lanes + globally-reduced per-group counts.
+        Raises RuntimeError past MAX_DEVICE_CAND per shard (caller falls
+        back to host verify of the lane-sharded bitmap — loud, lossless).
+        Must be called in SPMD lockstep by every process."""
+        from tpu_pattern_matching.ops.verify_device import (
+            MAX_DEVICE_CAND,
+            next_cap,
+        )
+
+        if total_max > MAX_DEVICE_CAND:
+            raise RuntimeError(
+                f"{total_max} candidates on one shard exceed the "
+                f"device-verify cap {MAX_DEVICE_CAND}; host verify "
+                f"handles this batch"
+            )
+        C_local = data.shape[0] // self.ctx.num_devices
+        k_cand = next_cap(total_max)
+        if self.exact_meta is None:
+            k_walk = k_ev = k_cand
+        else:
+            k_walk = k_ev = min(k_cand, self._k_walk)
+        needs_d, metas, packed, gc = self._step(k_cand, k_ev, k_walk)(
+            data, bounds, bits
+        )
+        needs = np.asarray(needs_d)
+        if needs[3] & 4:  # refine overflow: retry with the exact need
+            k_walk = k_ev = min(k_cand, next_cap(int(needs[2])))
+            needs_d, metas, packed, gc = self._step(k_cand, k_ev, k_walk)(
+                data, bounds, bits
+            )
+            needs = np.asarray(needs_d)
+        if needs[3] & 2:  # event overflow: retry with the exact need
+            k_ev = next_cap(int(needs[1]))
+            needs_d, metas, packed, gc = self._step(k_cand, k_ev, k_walk)(
+                data, bounds, bits
+            )
+            needs = np.asarray(needs_d)
+        if self.exact_meta is not None:
+            self._k_walk = next_cap(int(needs[2]))
+        if needs[3] & 1:
+            raise RuntimeError(
+                "mesh device verify candidate overflow with a bucketed "
+                "capacity — probe max-total and bitmap disagree (bug)"
+            )
+        ln, e, st = self._assemble(metas, packed, k_ev, C_local)
+        return int(needs[0]), ln, e, st, np.asarray(gc)

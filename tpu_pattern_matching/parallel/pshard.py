@@ -340,15 +340,46 @@ class Mesh2DContext:
 
     @staticmethod
     def build(devices, n_shards: int) -> "Mesh2DContext":
-        devices = np.asarray(devices)
+        """Arrange devices into the ("pat", "data") grid so every DATA
+        COLUMN's S pat rows live on ONE process.
+
+        This is what lets pattern shards compose with multi-process
+        (VERDICT r3 item 2): batch lanes shard ``P("data")`` and replicate
+        over "pat", so the process feeding a lane block must own all the
+        devices that hold it — otherwise every host would have to read
+        the whole corpus and input bandwidth could not scale with hosts
+        (the same argument as the 1D multi-host layout). Per process the
+        local devices fill pat-major, giving contiguous per-process data
+        columns (the contiguity the host-local bitmap/event decode
+        relies on). Single-process this reduces to the plain
+        ``reshape(n_shards, -1)``.
+        """
+        devices = np.asarray(devices).reshape(-1)
         if len(devices) % n_shards:
             raise ValueError(
                 f"{len(devices)} devices do not split into {n_shards} "
                 f"pattern shards"
             )
-        return Mesh2DContext(
-            Mesh(devices.reshape(n_shards, -1), ("pat", "data"))
-        )
+        procs: dict[int, list] = {}
+        for d in devices:
+            procs.setdefault(int(d.process_index), []).append(d)
+        cols = []
+        for p in sorted(procs):
+            local = procs[p]
+            if len(local) % n_shards:
+                raise ValueError(
+                    f"process {p} has {len(local)} devices — not "
+                    f"divisible by {n_shards} pattern shards (each "
+                    f"process must host all S pat rows of its data "
+                    f"columns)"
+                )
+            col = np.empty((n_shards, len(local) // n_shards), object)
+            for i, d in enumerate(local):
+                col[i // (len(local) // n_shards),
+                    i % (len(local) // n_shards)] = d
+            cols.append(col)
+        grid = np.concatenate(cols, axis=1)
+        return Mesh2DContext(Mesh(grid, ("pat", "data")))
 
     @property
     def n_shards(self) -> int:

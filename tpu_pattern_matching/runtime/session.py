@@ -100,8 +100,12 @@ class MatchSession:
         - "device" — candidate windows compact and walk the dense table ON
           DEVICE (ops/verify_device.py): exact (lane, end, state) events
           and per-group counts with zero host CPU in the verify loop — the
-          capability ahomatch.cl:63-74 has in-kernel. Falls back to host
-          verify loudly past MAX_DEVICE_CAND candidates per batch
+          capability ahomatch.cl:63-74 has in-kernel. Works single-chip
+          AND on a data-parallel ``mesh=`` (the verify pipeline runs
+          per shard under shard_map and events come back lane-sharded,
+          host-local to the process that owns the lanes —
+          parallel.mesh.MeshDeviceVerifier). Falls back to host verify
+          loudly past MAX_DEVICE_CAND candidates per batch/shard
           (match-saturated input is the host walker's regime).
         - "auto" (default) — host (the measured single-chip winner; see
           BENCH_NOTES round 3).
@@ -154,6 +158,7 @@ class MatchSession:
             "host" if verify == "auto" else verify
         ) if engine == "bloom" else "n/a"
         self._dvf = None
+        self._dvf_mesh = None
         self.table = table
         self._bloom = None
         self._verifier = None
@@ -181,18 +186,15 @@ class MatchSession:
                     "or the sharded count step"
                 )
             if pat_shards > 1:
-                if jax.process_count() > 1:
-                    raise NotImplementedError(
-                        "pat_shards on multi-process meshes: the union "
-                        "bitmap's pat-replication does not line up with "
-                        "per-process lane ownership yet — run pattern "
-                        "shards single-process, or data-parallel "
-                        "multi-process"
-                    )
                 from tpu_pattern_matching.parallel.pshard import (
                     Mesh2DContext,
                 )
 
+                # composes with multi-process: Mesh2DContext.build keeps
+                # every data column's S pat rows on one process, so lane
+                # ownership (P("data") blocks) stays host-contiguous and
+                # the union bitmap decodes host-locally exactly as the
+                # 1D mesh does (round 4; was NotImplementedError)
                 ctx2 = Mesh2DContext.build(
                     ctx.mesh.devices.reshape(-1), pat_shards
                 )
@@ -277,21 +279,32 @@ class MatchSession:
         # pad so the scan engine's 8-wide unroll divides the tile length
         self.halo = pad_halo(base_halo, chunk_len)
         if self.verify_mode == "device":
-            if self._mesh_ctx is not None:
+            if self._pshard_ctx is not None:
                 raise ValueError(
-                    "verify='device' with mesh=: use "
-                    "parallel.mesh.make_sharded_bloom_count_step for the "
-                    "all-device psum count path; event decode on meshes "
-                    "verifies host-side per lane shard"
+                    "verify='device' with pat_shards on a mesh: the union "
+                    "bitmap would walk the GLOBAL dense table, defeating "
+                    "the 1/S-table-per-chip point of pattern sharding — "
+                    "use parallel.pshard.make_pattern_sharded_count_step "
+                    "for all-device counts, or host verify for events"
                 )
-            from tpu_pattern_matching.ops.verify_device import (
-                DeviceVerifier,
-            )
+            if self._mesh_ctx is not None:
+                from tpu_pattern_matching.parallel.mesh import (
+                    MeshDeviceVerifier,
+                )
 
-            self._dvf = DeviceVerifier(
-                table, self.bloom_table.cfg, self.halo, sharding,
-                gram_keys=self.bloom_table.gram_keys,
-            )
+                self._dvf_mesh = MeshDeviceVerifier(
+                    self._mesh_ctx, table, self.bloom_table.cfg,
+                    self.halo, gram_keys=self.bloom_table.gram_keys,
+                )
+            else:
+                from tpu_pattern_matching.ops.verify_device import (
+                    DeviceVerifier,
+                )
+
+                self._dvf = DeviceVerifier(
+                    table, self.bloom_table.cfg, self.halo, sharding,
+                    gram_keys=self.bloom_table.gram_keys,
+                )
         if (
             self._bloom is not None
             and self._bloom_step is None
@@ -409,6 +422,12 @@ class MatchSession:
             from tpu_pattern_matching.ops.bloom import BloomHits
 
             total, bits = self._bloom_step(self._bloom.words, data, bounds)
+            if self._dvf_mesh is not None:
+                # the meshed device-verify stage walks the SAME sharded
+                # arrays the probe scanned — keep the handles
+                return BloomHits(
+                    meta=total, bits=bits, data=data, bounds=bounds
+                )
             return BloomHits(meta=total, bits=bits)
         if self._bloom is not None:
             if self._dvf is not None:
@@ -565,7 +584,11 @@ class MatchSession:
         one verified (lane, end, state) row per event, group id via one
         state_gid gather (the per-event dict/set/sort grouping was the
         decode bottleneck on match-dense input, BENCH_NOTES.md round 2)."""
-        total = int(np.asarray(comp.meta)[0])
+        meta_h = np.asarray(comp.meta)
+        total = int(meta_h[0])
+        # meshed probes report [global_total, max_per_shard_total]; the
+        # per-shard max is the capacity bound the mesh verifier buckets on
+        total_max = int(meta_h[1]) if meta_h.shape[0] > 1 else total
         bl = self._bloom
         if (
             bl is not None
@@ -592,6 +615,24 @@ class MatchSession:
                     1,
                     "bloom refine overflow (%d candidates): k_ref -> %d",
                     total, bl.k_ref,
+                )
+        if total and self._dvf_mesh is not None and comp.data is not None:
+            try:
+                n_ev, ln_a, e_a, st_a, _gc = self._dvf_mesh.verify(
+                    comp.data, comp.bounds, comp.bits, total_max
+                )
+            except RuntimeError as e:
+                from tpu_pattern_matching.utils.debug import dprint
+
+                dprint(1, "mesh device verify fell back to host: %s", e)
+            else:
+                gid_a = self.table.state_gid[st_a]
+                events = self._events_from_arrays(batch, ln_a, e_a, gid_a)
+                return BatchMatches(
+                    events=events,
+                    total=n_ev,  # exact GLOBAL count; events are this
+                    reported=len(events),  # host's lane-shard-local set
+                    overflowed=False,
                 )
         if total and self._dvf is not None and comp.data is not None:
             out = self._device_verify(comp, total)
@@ -651,14 +692,35 @@ class MatchSession:
         """(total_events, per-group counts [G]) WITHOUT materializing
         per-event objects — the vectorized count path for match-dense and
         psum workloads. Bloom: NumPy bincount over the native walker's
-        verified rows; dense: the device-side per_group_counts reduction."""
+        verified rows; dense: the device-side per_group_counts reduction.
+
+        With ``mesh=`` + ``verify='device'`` the counts come back already
+        psum-reduced across the WHOLE mesh (all processes' lanes) — do
+        NOT allreduce_host_counts them again. Every other path counts
+        this host's lanes only (reduce across hosts yourself)."""
         from tpu_pattern_matching.ops.bloom import BloomHits
 
         G = self.table.num_groups
         if isinstance(comp, BloomHits):
-            total = int(np.asarray(comp.meta)[0])
+            meta_h = np.asarray(comp.meta)
+            total = int(meta_h[0])
             if not total:
                 return 0, np.zeros(G, np.int64)
+            if self._dvf_mesh is not None and comp.data is not None:
+                total_max = (
+                    int(meta_h[1]) if meta_h.shape[0] > 1 else total
+                )
+                try:
+                    n_ev, *_rest, gc = self._dvf_mesh.verify(
+                        comp.data, comp.bounds, comp.bits, total_max
+                    )
+                    return n_ev, gc.astype(np.int64)
+                except RuntimeError as e:
+                    from tpu_pattern_matching.utils.debug import dprint
+
+                    dprint(
+                        1, "mesh device count fell back to host: %s", e
+                    )
             if self._dvf is not None and comp.data is not None:
                 out = self._device_verify(comp, total)
                 if out is not None:

@@ -8,6 +8,14 @@ protocol is bytes*8/wall Mbps on urandom corpora with ClamAV-style hex
 signatures (SURVEY.md section 6). ``vs_baseline`` is therefore reported
 against a nominal 1 GB/s/chip north-star denominator.
 
+``value`` (the tracked series) is the EXACT end-to-end number since round
+4: the session-default refined pipeline (device probe + on-device
+exact-gram refinement, host walks only the true-gram residue) at 1e-3
+planted match density — the throughput a user's default MatchSession
+actually delivers, matches included (VERDICT r3 item 4: "the one tracked
+number should be the product, not the filter"). The rounds-1-3 probe-only
+series continues under ``probe_only_bytes_per_s`` for continuity.
+
 Workload: 10,000 random hex signatures truncated to 12 bytes (the reference's
 recommended ``-m 12`` for large ClamAV sets, README:71-83) scanned over
 random binary.
@@ -132,7 +140,7 @@ def main() -> None:
         return best
 
     per_scan = (best_time(K_HI) - best_time(K_LO)) / (K_HI - K_LO)
-    value = C * B / per_scan
+    probe_value = C * B / per_scan
 
     # joint metric (VERDICT r2 weak 1 / item 3): the WHOLE exactness
     # pipeline — probe + candidate compaction + windowed dense-table walk
@@ -149,10 +157,23 @@ def main() -> None:
     except Exception as e:  # the primary metric must survive regardless
         extra = {"joint_error": repr(e)[:200]}
 
+    # headline (round 4+): the EXACT session-default pipeline with matches
+    # in the data; probe-only remains a secondary series. If the refined
+    # metrics failed, fall back to the probe number, loudly labeled.
+    exact = extra.get("refined_pipelined_bytes_per_s_d1e3")
+    if exact:
+        metric = "exact_refined_bytes_per_s_per_chip_10k_patterns"
+        value = exact
+    else:
+        metric = "scan_bytes_per_s_per_chip_10k_patterns"
+        value = probe_value
+
+    from tpu_pattern_matching.ops.costmodel import get_cost_constants
+
     print(
         json.dumps(
             {
-                "metric": "scan_bytes_per_s_per_chip_10k_patterns",
+                "metric": metric,
                 "value": value,
                 "unit": "bytes/s",
                 "vs_baseline": value / 1e9,
@@ -161,6 +182,11 @@ def main() -> None:
                 # labeled here so the ratio is not mistaken for a measured
                 # reference figure
                 "baseline_denominator": "nominal 1e9 bytes/s/chip (reference publishes no benchmark numbers)",
+                # rounds 1-3 tracked probe-only as `value`; the series
+                # continues here
+                "probe_only_bytes_per_s": probe_value,
+                # which chooser pricing this run used (ops/costmodel.py)
+                "calibration": get_cost_constants().source,
                 **extra,
             }
         )

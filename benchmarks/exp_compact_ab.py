@@ -10,8 +10,9 @@ faster compaction:
   hier      2D hierarchical: axis-1 cumsum per lane row + 1D cumsum of
             row totals + scatter (the 1D part shrinks Cb*W -> Cb)
   topk      jax.lax.top_k over (flag ? BIG-iota : -1), k = capacity
+  sortsel   full lax.sort + tail slice + reverse, k = capacity
   prims     raw primitive costs: 1D cumsum, 2D axis-1 cumsum, scatter,
-            top_k, transpose — each alone
+            top_k, sort (p_sort), transpose — each alone
 
 All K-looped with the carry threaded through an operand (nothing hoists),
 t(K_hi)-t(K_lo), best of rounds, same process (interleaved).

@@ -395,7 +395,7 @@ def config5() -> None:
     out2 = cstep(*cargs)
     jax.block_until_ready(out2)
     dev_verify_dt = time.perf_counter() - t2
-    dcounts, n_ev, flags = (np.asarray(x) for x in out2)
+    dcounts, n_ev, flags, _needs = (np.asarray(x) for x in out2)
     assert int(flags) == 0, "per-shard candidate capacity overflowed"
     dev_agree = bool(np.array_equal(dcounts.astype(np.int64), bcounts))
 

@@ -15,6 +15,11 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# hermetic chooser: a machine-local calibration cache must not change what
+# the suite's chooser-dependent assertions see (tests that WANT a custom
+# calibration set TPM_COST_CONSTANTS themselves)
+os.environ.setdefault("TPM_COST_CONSTANTS", "/nonexistent/tpm-cost-constants")
+
 if not os.environ.get("TPM_TEST_TPU"):
     flags = os.environ.get("XLA_FLAGS", "")
     if "host_platform_device_count" not in flags:

@@ -253,6 +253,10 @@ def run_ushort_arms(rng) -> list[str]:
     }
     if rng.rand() < 0.5:
         arms["u_device_verify"] = dict(engine="bloom", verify="device")
+    import jax
+
+    if len(jax.devices()) >= 2 and rng.rand() < 0.4:
+        arms["u_mesh"] = dict(engine="bloom", mesh=2)
     ran = []
     for name, kw in arms.items():
         got = MatchSession(

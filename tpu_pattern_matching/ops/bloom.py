@@ -69,6 +69,38 @@ GT = 64  # stride-groups (tested rows) per tile; 64*s rows is always %8==0
 MAX_LANE_TILE = 1024  # lane-block width per kernel tile
 
 
+def probe_cost_units(q: int, k: int, v: int, *, s: int = 1, w: int = 0
+                     ) -> float:
+    """Model element-ops per input byte for a probe config — the chooser's
+    probe-cost currency, and the unit the calibrator (ops/costmodel.py)
+    prices in ns on the attached chip.
+
+    hash (2.5/symbol) + k banks of (index math + v gathers&selects);
+    strided amortizes over the stride, sampled pays every position plus
+    ~3 ops per window step for the winnowing min chains. Empirical
+    penalties (exp_bloom_ab/tune + bench A/B): non-pow2 strides relayout
+    the window reshape (~1.6x); bank groups past MAX_BANKS_PER_KERNEL run
+    as extra ANDed kernels (~1.5x each); past the unroll budget the fori
+    unit loop costs ~1.3x. Cross-mode calibration from interleaved A/B on
+    v5e (round 2): at 10k x 12B, strided q4s4k8v16 measured 6.15 GB/s vs
+    sampled q5w8k7v4 6.64 GB/s, while the sampled model's own 10k->100k
+    scaling was accurate (predicted 11x, measured 11.7x) — strided's
+    stride amortization is optimistic (the [GT, s, width] window reshape
+    relayout isn't free even at pow2 strides), hence its 1.3x factor."""
+    if w:
+        c = 2.5 * q + 3.0 * w + k * (4 + 5 * v)
+    else:
+        c = (2.5 * q + k * (4 + 5 * v)) / s
+        if s not in (1, 2, 4, 8, 16):
+            c *= 1.6
+        c *= 1.3
+    groups = -(-k // MAX_BANKS_PER_KERNEL)
+    c *= 1 + 0.5 * (groups - 1)
+    if min(k, MAX_BANKS_PER_KERNEL) * v * 8 > 1024:
+        c *= 1.3
+    return c
+
+
 @dataclasses.dataclass(frozen=True)
 class BloomConfig:
     """Static shape/hash parameters (hashable: used as a jit static arg).
@@ -239,9 +271,11 @@ class BloomFilterTable:
         # ("sampled", q, w, k, v): bypass the chooser (A/B experiments
         # validating the cost model against the chip, exp_verify_ab.py)
         objective: str = "refined",
-        verify_ns_per_cand: float = 700.0,  # measured host verify cost
-        # (~600-780 ns/candidate incl. bitmap unpack + window merge,
-        # exp_verify_ab round 3; the device verify stage is ~1.1 us/slot)
+        verify_ns_per_cand: float | None = None,  # host verify cost per
+        # candidate; None reads the calibrated constants
+        # (ops/costmodel.get_cost_constants — v5e default 700: ~600-780
+        # ns/candidate incl. bitmap unpack + window merge, exp_verify_ab
+        # round 3; the device verify stage is ~1.1 us/slot)
         rate_scale: float = 1.0,  # candidate-rate multiplier for verify
         # pricing and eligibility: the sharded build (parallel/pshard.py)
         # passes S, because the verifier walks the UNION of S shard
@@ -353,57 +387,33 @@ class BloomFilterTable:
             tr = min(1.0, universe * -np.expm1(-n / universe) / universe)
             return tr * 2.0 / (w + 1) if w else tr / s
 
-        def probe_cost(q, k, v, *, s=1, w=0):
-            # element-ops per input byte: hash (2.5/symbol) + k banks of
-            # (index math + v gathers&selects); strided amortizes over the
-            # stride, sampled pays every position plus ~3 ops per window
-            # step for the winnowing min chains. Empirical penalties
-            # (exp_bloom_ab/tune + bench A/B): non-pow2 strides relayout
-            # the window reshape (~1.6x); bank groups past
-            # MAX_BANKS_PER_KERNEL run as extra ANDed kernels (~1.5x
-            # each); past the unroll budget the fori unit loop costs ~1.3x.
-            if w:
-                c = 2.5 * q + 3.0 * w + k * (4 + 5 * v)
-            else:
-                c = (2.5 * q + k * (4 + 5 * v)) / s
-                if s not in (1, 2, 4, 8, 16):
-                    c *= 1.6
-                # cross-mode calibration from interleaved A/B on v5e
-                # (round 2): at 10k x 12B, strided q4s4k8v16 measured
-                # 6.15 GB/s vs sampled q5w8k7v4 6.64 GB/s, while the
-                # sampled model's own 10k->100k scaling was accurate
-                # (predicted 11x, measured 11.7x) — strided's stride
-                # amortization is optimistic (the [GT, s, width] window
-                # reshape relayout isn't free even at pow2 strides)
-                c *= 1.3
-            groups = -(-k // 8)  # MAX_BANKS_PER_KERNEL
-            c *= 1 + 0.5 * (groups - 1)
-            if min(k, 8) * v * 8 > 1024:
-                c *= 1.3
-            return c
+        probe_cost = probe_cost_units
 
         best = None  # (objective, q, s, w, k, v) meeting the rate cap
         fallback = None  # (rate, cost, q, s, w, k, v) best-effort
 
-        # Probe-cost calibration: the official q4s4k6v16 point measured
-        # 0.1295 ns/byte on v5e at probe_cost = 167 units
-        # (exp_verify_ab round 3) -> ~0.00078 ns/byte per cost unit.
-        PROBE_NS_PER_UNIT = 0.00078
+        # Priced hardware (ops/costmodel.py): env/cache-file calibration
+        # with the round-3 v5e A/B numbers as fallback. The meanings:
+        # PROBE_NS_PER_UNIT — ns/byte per probe_cost_units unit (v5e:
+        # q4s4k6v16 measured 0.1295 ns/byte at 167 units -> 0.00078).
         # Exact-gram refinement pricing (objective="refined"): the
         # refinement runs ON DEVICE in the probe's jit, so its cost adds
         # to the device side while the host sees only true-gram
-        # candidates. Calibrated on v5e (exp_verify_ab refined arm +
-        # exp_refine_stages, post-top_k-compaction): overhead = ~0.62 ms
-        # fixed (the stage-1 top_k over the word bitmap) + ~137 ns per
-        # CAPACITY SLOT (stage-2 compaction + q gram gathers + dmax exact
-        # probes + scatter-back, all linear in k_ref). Slots are sized
+        # candidates: a fixed stage-1 top_k term per byte (1/stride the
+        # words on strided bitmaps) + a per-CAPACITY-SLOT marginal
+        # (stage-2 compaction + q gram gathers + dmax exact probes +
+        # scatter-back, all linear in k_ref). Slots are sized
         # REFINE_HEADROOM x modeled rate (runtime/session.py uses the
         # same constant), so the per-candidate price is headroom-scaled.
-        REFINE_NS_PER_SLOT = 137.0
-        # stage-1 top_k cost per input byte: 0.62 ms / 17.2 MB at one
-        # bitmap bit per position (sampled); strided bitmaps have 1/s the
-        # words, so the term scales 1/stride
-        REFINE_FIXED_NS_PER_BYTE = 0.036
+        # VERIFY_NS_PER_CAND — host native-walker cost per candidate.
+        from tpu_pattern_matching.ops.costmodel import get_cost_constants
+
+        _cc = get_cost_constants()
+        PROBE_NS_PER_UNIT = _cc.probe_ns_per_unit
+        REFINE_NS_PER_SLOT = _cc.refine_ns_per_slot
+        REFINE_FIXED_NS_PER_BYTE = _cc.refine_fixed_ns_per_byte
+        if verify_ns_per_cand is None:
+            verify_ns_per_cand = _cc.verify_ns_per_cand
 
         # Legacy probe-objective surcharge (round-2 rule, kept for
         # objective="probe"): a soft verify tax + throughput-coupled cap.

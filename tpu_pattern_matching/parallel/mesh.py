@@ -179,13 +179,16 @@ def make_sharded_bloom_count_step(
     psum").
 
     Returns ``step(words, table_flat, state_gid, data, bounds) ->
-    (gcounts [G] replicated, n_events [] replicated, flags [] replicated)``
-    where ``flags != 0`` means SOME shard overflowed a fixed per-shard
-    capacity (bit0 candidates, bit1 event slots, bit2 refined candidates)
-    — gcounts are then incomplete and the caller must rescan with larger
-    capacities or fall back to host verify; ``n_events`` stays exact
-    either way. Per-shard capacities are static: unlike the single-chip
-    decode path, a fused mesh step cannot bucket per batch.
+    (gcounts [G] replicated, n_events [] replicated, flags [] replicated,
+    needs [3] replicated)`` where ``flags != 0`` means SOME shard
+    overflowed a fixed per-shard capacity (bit0 candidates, bit1 event
+    slots, bit2 refined candidates) — gcounts are then incomplete and the
+    caller must rescan with larger capacities (``needs`` = max per-shard
+    [n_events, n_candidates, n_refined] are the EXACT sizes the rescan
+    must cover; :class:`ShardedBloomCounter` does this automatically) or
+    fall back to host verify; ``n_events`` stays exact either way.
+    Per-shard capacities are static: unlike the single-chip decode path,
+    a fused mesh step cannot bucket per batch.
 
     ``gram_keys`` (BloomFilterTable.gram_keys) enables the exact-gram
     refinement stage per shard: bloom fp candidates erase before the
@@ -258,10 +261,18 @@ def make_sharded_bloom_count_step(
             | jax.lax.pmax(meta[3] & 2, axis)
             | jax.lax.pmax(meta[3] & 4, axis)
         )
+        needs = jnp.stack(
+            [
+                jax.lax.pmax(meta[0], axis),  # max per-shard events
+                jax.lax.pmax(meta[2], axis),  # max per-shard candidates
+                jax.lax.pmax(meta[4], axis),  # max per-shard refined
+            ]
+        )
         return (
             jax.lax.psum(gcounts, axis),
             jax.lax.psum(meta[0], axis),
             flags_or,
+            needs,
         )
 
     return jax.jit(
@@ -269,10 +280,96 @@ def make_sharded_bloom_count_step(
             local_step,
             mesh=ctx.mesh,
             in_specs=(P(), P(), P(), P(axis), P(None, axis)),
-            out_specs=(P(), P(), P()),
+            out_specs=(P(), P(), P(), P()),
             check_vma=False,  # pallas_call outputs carry no vma metadata
         )
     )
+
+
+class ShardedBloomCounter:
+    """Product driver for the all-device psum count path with AUTOMATIC
+    capacity retry (VERDICT r3 item 5): on any overflow flag the SAME
+    batch rescans at capacities covering the exact reported needs —
+    mirroring DeviceVerifier.verify's single-chip retry — so match-dense
+    fleets never need manual capacity tuning. Recompiles are log-bounded
+    by the next_cap ladder and capacities are sticky across batches (a
+    persistently dense stream converges to one compiled step).
+    """
+
+    def __init__(self, ctx: MeshContext, bloom, table, *, halo: int,
+                 k_cand: int = 4096, k_ev: int = 4096, gram_keys=None,
+                 k_walk: int | None = None):
+        self.ctx = ctx
+        self.bloom = bloom
+        self.table = table
+        self.halo = halo
+        self.gram_keys = gram_keys
+        self.k_cand = k_cand
+        self.k_ev = k_ev
+        self.k_walk = k_walk if k_walk is not None else (
+            k_cand if gram_keys is None else min(k_cand, 1024)
+        )
+        self._steps: dict[tuple[int, int, int], object] = {}
+        rep = ctx.replicated
+        self.table_flat = jax.device_put(
+            np.ascontiguousarray(table.goto_signed).reshape(-1), rep
+        )
+        self.state_gid = jax.device_put(
+            table.state_gid.astype(np.int32), rep
+        )
+
+    def _step(self, k_cand: int, k_ev: int, k_walk: int):
+        key = (k_cand, k_ev, k_walk)
+        if key not in self._steps:
+            self._steps[key] = make_sharded_bloom_count_step(
+                self.ctx, self.bloom, self.table, halo=self.halo,
+                k_cand=k_cand, k_ev=k_ev, gram_keys=self.gram_keys,
+                k_walk=k_walk,
+            )
+        return self._steps[key]
+
+    def count(self, data, bounds) -> tuple[np.ndarray, int]:
+        """(gcounts [G] int64, n_events) — exact, retrying capacities as
+        needed. Raises RuntimeError past MAX_DEVICE_CAND per shard (host
+        verify is the right tool for match-saturated batches)."""
+        from tpu_pattern_matching.ops.verify_device import (
+            MAX_DEVICE_CAND,
+            next_cap,
+        )
+
+        for _ in range(8):  # log-bounded; 8 covers any ladder walk
+            gcounts, n_ev, flags, needs_d = self._step(
+                self.k_cand, self.k_ev, self.k_walk
+            )(self.bloom.words, self.table_flat, self.state_gid,
+              data, bounds)
+            f = int(np.asarray(flags))
+            if not f:
+                return (
+                    np.asarray(gcounts).astype(np.int64),
+                    int(np.asarray(n_ev)),
+                )
+            needs = np.asarray(needs_d)
+            if f & 1:  # candidate overflow: exact need is needs[1]
+                if int(needs[1]) > MAX_DEVICE_CAND:
+                    raise RuntimeError(
+                        f"{int(needs[1])} candidates on one shard exceed "
+                        f"the device cap {MAX_DEVICE_CAND}; use host "
+                        f"verify for this stream"
+                    )
+                self.k_cand = next_cap(int(needs[1]))
+            if f & 4:  # refined-candidate overflow
+                self.k_walk = min(
+                    next_cap(int(needs[2])), max(self.k_cand, 256)
+                )
+            if f & 2:  # event-slot overflow
+                if int(needs[0]) > MAX_DEVICE_CAND:
+                    raise RuntimeError(
+                        f"{int(needs[0])} events on one shard exceed the "
+                        f"device cap {MAX_DEVICE_CAND}; use host verify "
+                        f"for this stream"
+                    )
+                self.k_ev = next_cap(int(needs[0]))
+        raise RuntimeError("capacity retry did not converge (bug)")
 
 
 def make_sharded_bloom_step(ctx: MeshContext, bloom):

@@ -105,6 +105,9 @@ class ShardedBloom:
             [p.symbols for p in table.patterns],
             n_shards,
             fold_case=getattr(table, "nocase", False),
+            # alphabet width must ride along or a 2048-alphabet (ushort)
+            # sharded build would pack 11-bit symbols into 8-bit gram keys
+            alphabet_size=table.alphabet_size,
             **kw,
         )
 

@@ -1,6 +1,6 @@
 """Pattern-sharding A/B at scale: one saturated filter vs S shard filters.
 
-Usage: python benchmarks/bench_pshard.py [n_patterns] [n_shards]
+Usage: python benchmarks/bench_pshard.py [n_patterns] [n_shards] [--count]
 
 Measures three interleaved arms on the real chip (honest K-loop protocol,
 same-process round-robin — BENCH_NOTES.md measurement rules):
@@ -15,7 +15,18 @@ same-process round-robin — BENCH_NOTES.md measurement rules):
   chip probes its shard concurrently; the all_gather+OR of W x C x 4B
   bitmaps rides ICI and is not reproducible through the one-chip tunnel).
 
-Prints one JSON line with all three rates and the survivor totals.
+``--count`` adds the MEASURED (not projected) service point (VERDICT r3
+item 7): the FULL per-chip pipeline of the ("pat","data") count mesh —
+probe own shard + per-shard exact-gram refinement of the union bitmap +
+windowed walk against the shard's OWN 1/S dense table + group counts —
+time-multiplexed as S sequential shard steps in ONE jit on the one chip.
+One deployed chip does exactly 1/S of that work (the bitmap
+all_gather+OR rides ICI and is the only unmeasured term), so
+``mux_count_per_chip_bytes_per_s = S * batch_bytes / T_mux`` is a
+measured per-chip figure, directly comparable to the one_shard
+probe-only projection.
+
+Prints one JSON line with all rates and the survivor totals.
 """
 
 from __future__ import annotations
@@ -146,7 +157,148 @@ def main(n_patterns: int = 300_000, n_shards: int = 8) -> None:
         per = (best[name][K_HI] - best[name][K_LO]) / (K_HI - K_LO)
         out[f"{name}_bytes_per_s"] = size / per
         out[f"{name}_survivors_per_byte"] = surv[name] / size
+    if "--count" in sys.argv:
+        try:
+            out.update(
+                mux_count_arm(jax, jnp, pats, sharded, C, B0, halo,
+                              interpret, drng)
+            )
+        except Exception as e:
+            out["mux_count_error"] = repr(e)[:300]
     print(json.dumps(out))
+
+
+def mux_count_arm(jax, jnp, pats, sharded, C, B0, halo, interpret,
+                  drng) -> dict:
+    """The measured per-chip service point of the ("pat","data") count
+    mesh: S x (probe + union refinement vs own gram set + windowed walk
+    vs own 1/S table + group counts) in ONE jit, divided by S."""
+    import functools
+
+    from tpu_pattern_matching.core.dfa import compile_patterns
+    from tpu_pattern_matching.ops.bloom import _hits_jit
+    from tpu_pattern_matching.ops.exact_gram import tables_from_keys_common
+    from tpu_pattern_matching.ops.verify_device import (
+        MAX_DEVICE_CAND,
+        _verify_kernel,
+        next_cap,
+    )
+    from tpu_pattern_matching.parallel.pshard import pad_shard_tables
+
+    S = sharded.n_shards
+    cfg = sharded.cfg
+    t0 = time.time()
+    shard_tables = [
+        compile_patterns([pats[i] for i in sharded.parts[s]])
+        for s in range(S)
+    ]
+    tables_build_s = time.time() - t0
+    flat, gids, lmax, gmax = pad_shard_tables(shard_tables)
+    table_flat = jax.device_put(flat)
+    state_gid = jax.device_put(gids)
+    xts = tables_from_keys_common(sharded.shard_gram_keys, cfg.q, bits=8)
+    x0 = xts[0]
+    exact_meta = (x0.dmax, x0.m, x0.c1, x0.c2,
+                  min(t.n for t in xts), bool(cfg.fold_case),
+                  x0.use_hi, x0.bits)
+    exact_lo = jax.device_put(
+        np.stack([t.lo.view(np.int32) for t in xts])
+    )
+    exact_hi = (
+        jax.device_put(np.stack([t.hi.view(np.int32) for t in xts]))
+        if x0.use_hi else None
+    )
+    wordsS = jax.device_put(sharded.words)
+
+    B = B0 + (-(halo + B0)) % cfg.tile_rows
+    size = C * B
+    data = jax.device_put(
+        drng.randint(0, 256, size=(C, halo + B)).astype(np.uint8)
+    )
+    bounds = jax.device_put(
+        np.stack([np.full(C, halo, np.int32),
+                  np.full(C, halo + B, np.int32)])
+    )
+
+    def make_mux(k_cand, k_walk):
+        @functools.partial(jax.jit, static_argnames=("K",))
+        def mux(data, bounds, *, K):
+            def body(acc, _):
+                b2 = bounds.at[0, 0].add(acc & 1)
+                union = None
+                for s in range(S):
+                    _t, bits = _hits_jit(
+                        data, b2, wordsS[s], cfg=cfg, interpret=interpret
+                    )
+                    union = bits if union is None else union | bits
+                tot = jnp.zeros((), jnp.int32)
+                flags = jnp.zeros((), jnp.int32)
+                for s in range(S):
+                    meta, _p, gc = _verify_kernel(
+                        table_flat[s], state_gid[s], data, b2, union,
+                        exact_lo[s],
+                        exact_hi[s] if exact_hi is not None else None,
+                        alphabet_size=256, stride=cfg.stride, q=cfg.q,
+                        lmax=lmax, halo=halo, k_cand=k_cand,
+                        k_ev=k_walk, num_groups=gmax,
+                        exact_meta=exact_meta, k_walk=k_walk,
+                    )
+                    tot = tot + meta[0] + gc[0]
+                    flags = flags | meta[3]
+                return acc + tot, flags
+
+            acc, flags = jax.lax.scan(
+                body, jnp.zeros((), jnp.int32), None, length=K
+            )
+            return acc, flags[-1]
+
+        return mux
+
+    # size the caps from the union survivor count of THIS batch, then
+    # confirm flags stay clean (retry 2x on refined-walk overflow)
+    union_total = 0
+    for s in range(S):
+        t, _b = _hits_jit(data, bounds, wordsS[s], cfg=cfg,
+                          interpret=interpret)
+        union_total += int(np.asarray(t)[0])  # upper bound (no dedupe)
+    k_cand = next_cap(min(MAX_DEVICE_CAND, max(4096, union_total)))
+    k_walk = next_cap(max(2048, union_total // (2 * S)))
+    for _ in range(3):
+        mux = make_mux(k_cand, k_walk)
+        _acc, flags = mux(data, bounds, K=1)
+        f = int(np.asarray(flags))
+        if not f:
+            break
+        if f & (2 | 4):
+            k_walk = next_cap(k_walk * 2)
+        if f & 1:
+            k_cand = next_cap(min(MAX_DEVICE_CAND, k_cand * 2))
+
+    def run(K):
+        acc, flags = mux(data, bounds, K=K)
+        return int(acc) + int(np.asarray(flags)) * 0
+
+    K_LO, K_HI = 1, 5
+    run(K_LO)
+    run(K_HI)
+    best = {K_LO: float("inf"), K_HI: float("inf")}
+    for _round in range(5):
+        for K in (K_LO, K_HI):
+            t0 = time.perf_counter()
+            run(K)
+            best[K] = min(best[K], time.perf_counter() - t0)
+    per_mux = (best[K_HI] - best[K_LO]) / (K_HI - K_LO)
+    return {
+        "mux_count_flags": f,
+        "mux_count_k_cand": k_cand,
+        "mux_count_k_walk": k_walk,
+        "mux_count_tables_build_s": round(tables_build_s, 1),
+        "mux_count_T_mux_s_per_batch": per_mux,
+        # one deployed chip does 1/S of the multiplexed work; only the
+        # bitmap all_gather+OR over ICI is unmeasured
+        "mux_count_per_chip_bytes_per_s": S * size / per_mux,
+        "mux_count_1chip_serial_bytes_per_s": size / per_mux,
+    }
 
 
 def _cfgtag(cfg) -> str:

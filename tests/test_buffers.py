@@ -119,3 +119,42 @@ def test_stream_state_resume_across_sessions():
         (ev.end_offset, p) for ev in events for p in ev.pattern_indices
     )
     assert got == want
+
+
+def test_scan_stream_bounded_buffers_and_memory():
+    """The databuf contract made checkable (VERDICT r3 item 9): a stream
+    hundreds of times the buffer capacity allocates at most depth+1
+    buffers (rotated via reset(), never re-allocated) and host RSS stays
+    flat across batches."""
+    import os
+
+    from tpu_pattern_matching.core.oracle import match_python
+
+    def rss_kb() -> int:
+        with open("/proc/self/statm") as f:
+            return int(f.read().split()[1]) * (os.sysconf("SC_PAGESIZE") // 1024)
+
+    pats = [b"needle!"]
+    table = compile_patterns(pats)
+    depth = 4
+    sess = MatchSession(table, max_chunks=4, chunk_len=64, engine="dense")
+    # capacity = 4 * 64 = 256 payload bytes/batch; stream ~200 batches
+    data = (b"x" * 997 + b"needle!") * 50
+    want = len(match_python(pats, data))
+
+    # warm the jit caches with one full pass so the measured pass sees
+    # steady state (compile allocations are one-time, not per-batch)
+    sum(1 for _ in sess.scan_stream(io.BytesIO(data), depth=depth))
+
+    n0 = DataBuffer.alloc_count
+    rss0 = rss_kb()
+    got = 0
+    for bm in sess.scan_stream(io.BytesIO(data), depth=depth):
+        got += len(bm.events)
+    assert got == want
+    assert DataBuffer.alloc_count - n0 <= depth + 1, (
+        DataBuffer.alloc_count - n0
+    )
+    # flat RSS: ~200 batches of churn must not accumulate host memory
+    # (generous slack for allocator noise on a shared host)
+    assert rss_kb() - rss0 < 32 * 1024, (rss0, rss_kb())

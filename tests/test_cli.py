@@ -386,3 +386,42 @@ def test_save_load_bloom_filter(capsys, corpus_dir, tmp_path):
     p1 = sorted(l for l in out1.splitlines() if l.startswith("Pattern"))
     p2 = sorted(l for l in out2.splitlines() if l.startswith("Pattern"))
     assert p1 == p2 and len(p1) > 0
+
+
+def test_global_sort_cross_engine_identical(capsys, tmp_path):
+    """--sort semantics (MATCHING.md): per-batch canonical
+    (file_id, end_offset) order, identical on every engine — the sorted
+    verbose outputs of the dense and bloom engines over a MULTI-batch,
+    multi-file stream must be byte-identical (VERDICT r3 weak 6)."""
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    pat = tmp_path / "p.txt"
+    pat.write_bytes(b"needle!\nhay\n")
+    files = []
+    for i in range(2):
+        body = bytearray(rng.randint(97, 123, size=4000).astype(np.uint8))
+        for pos in range(20 + i * 7, 3900, 177):
+            body[pos : pos + 7] = b"needle!"
+        for pos in range(60, 3900, 311):
+            body[pos : pos + 3] = b"hay"
+        f = tmp_path / f"in{i}.bin"
+        f.write_bytes(bytes(body))
+        files.append(str(f))
+    # -w 1: one feeder worker => deterministic batch sequence (two
+    # workers' batches interleave by thread timing, so two RUNS are not
+    # comparable line-by-line regardless of engine; --sort specifies
+    # order WITHIN a batch, MATCHING.md)
+    argv = [
+        "-f", ",".join(files), "-p", pat.as_posix(), "-v", "--sort",
+        "-B", "64", "-G", "16", "-w", "1", "-R", "64",
+    ]
+    outs = {}
+    for eng in ("dense", "bloom"):
+        rc, out = run_cli(capsys, argv + ["--engine", eng])
+        assert rc == 0
+        outs[eng] = [
+            ln for ln in out.splitlines() if ln.startswith("Pattern ")
+        ]
+    assert len(outs["dense"]) > 20  # multi-batch, match-bearing
+    assert outs["dense"] == outs["bloom"]

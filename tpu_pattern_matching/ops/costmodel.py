@@ -140,7 +140,7 @@ def _best_delta(run, k_lo: int = 1, k_hi: int = 5, n: int = 4) -> float:
 
 def calibrate(
     path: str | None = DEFAULT_PATH,
-    n_patterns: int = 2000,
+    n_patterns: int = 10_000,
     verbose: bool = True,
 ) -> CostConstants:
     """Measure the four constants on the attached device/host and cache
@@ -178,7 +178,11 @@ def calibrate(
     table = compile_patterns(pats)
     bft = BloomFilterTable.from_table(table)  # refined-objective pick
     cfg = bft.cfg
-    C, B0 = 2048, 2048
+    # the official bench batch shape (~16 MiB): per-batch constants (the
+    # stage-1 top_k, dispatch bookkeeping) must amortize over the same
+    # bytes the product amortizes them over, or the per-byte fixed term
+    # reads high (measured 10x at a quarter-size batch)
+    C, B0 = 4096, 4096
     halo = pad_halo(table.max_pat_len - 1, B0)
     B = B0 + (-(halo + B0)) % cfg.tile_rows
     size = C * B

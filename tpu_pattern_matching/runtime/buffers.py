@@ -95,6 +95,13 @@ class DataBuffer:
     dtype = np.uint8  # symbol width (UshortBuffer overrides)
     follow = False  # set by the feeder in -F mode (token buffers hold a
     # partial trailing number across quiescence instead of flushing it)
+    alloc_count = 0  # PROCESS-WIDE _alloc tally (class attribute, counts
+    # subclasses too): the checkable form of the databuf contract — a
+    # streaming scan allocates a fixed buffer set up front and RE-USES it
+    # via reset() no matter how long the stream (databuf.c's one-time
+    # allocation, databuf.c:76-320). tests/test_buffers.py asserts
+    # scan_stream stays within depth+1 allocations on a stream that is
+    # hundreds of batches long.
 
     def __init__(self, max_chunks: int, chunk_len: int, halo: int):
         if halo < 0 or chunk_len <= 0 or max_chunks <= 0:
@@ -105,6 +112,7 @@ class DataBuffer:
         self._alloc()
 
     def _alloc(self) -> None:
+        DataBuffer.alloc_count += 1
         C, B, H = self.max_chunks, self.chunk_len, self.halo
         self.data = np.zeros((C, H + B), self.dtype)
         self.start_t = np.full(C, H, np.int32)

@@ -492,6 +492,13 @@ class MatchSession:
                     gid=g,
                 )
             )
+        if self.sort:
+            # canonical order (MATCHING.md "--sort semantics"): same key
+            # as the bloom engine's array sort, so the two engines'
+            # sorted outputs are byte-identical. The device-side
+            # (lane, pos) sort in the fused dispatch still helps: it
+            # makes this a nearly-sorted pass.
+            events.sort(key=lambda ev: (ev.file_id, ev.end_offset))
         return BatchMatches(
             events=events,
             total=total,
@@ -539,13 +546,20 @@ class MatchSession:
         self, batch: HostBatch, ln_a, e_a, gid_a
     ) -> list[MatchEvent]:
         """Materialize MatchEvents from verified (lane, end, gid) arrays
-        (shared by the host native-walker and device-verify paths)."""
-        if self.sort and len(ln_a):
-            order = np.lexsort((e_a, ln_a))
-            ln_a, e_a, gid_a = ln_a[order], e_a[order], gid_a[order]
+        (shared by the host native-walker and device-verify paths).
+
+        ``sort`` applies the CANONICAL order (see MATCHING.md "--sort
+        semantics"): (file_id, absolute end_offset) — identical across
+        engines and feeder interleavings, unique per event (one event per
+        end position per file), so sorted outputs diff byte-identically
+        between engines over any multi-batch stream."""
         file_ids = batch.file_ids
         base_off = batch.base_off
         halo = batch.halo
+        if self.sort and len(ln_a):
+            end_abs = base_off[ln_a] + e_a - halo
+            order = np.lexsort((end_abs, file_ids[ln_a]))
+            ln_a, e_a, gid_a = ln_a[order], e_a[order], gid_a[order]
         groups = self._groups
         events = []
         for ln, e, g in zip(ln_a.tolist(), e_a.tolist(), gid_a.tolist()):
@@ -666,10 +680,7 @@ class MatchSession:
                 batch.start_t, batch.end_t,
             ):
                 grouped.setdefault((ln, e), set()).add(pid)
-            keys = (
-                sorted(grouped.keys()) if self.sort else list(grouped.keys())
-            )
-            for ln, e in keys:
+            for ln, e in grouped.keys():
                 pids = sorted(grouped[(ln, e)])
                 events.append(
                     MatchEvent(
@@ -681,6 +692,8 @@ class MatchSession:
                         gid=self._gid_of_pidset.get(tuple(pids), -1),
                     )
                 )
+            if self.sort:  # canonical order, same as every other path
+                events.sort(key=lambda ev: (ev.file_id, ev.end_offset))
         return BatchMatches(
             events=events,
             total=len(events),

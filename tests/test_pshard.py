@@ -123,6 +123,87 @@ def test_sharded_session_2d_mesh_matches_oracle(devices8, n_shards):
     assert got == _oracle_set(pats, data)
 
 
+@pytest.mark.parametrize("n_shards", [2, 4])
+def test_pshard_device_verify_events_oracle(devices8, n_shards):
+    # VERDICT r4 item 2: device-exact EVENTS on the ("pat","data") mesh —
+    # the full verify pipeline runs per shard against 1/S dense tables,
+    # events merge across shards at host decode
+    pats = _patterns(n=16, seed=41)
+    data, _ = planted_binary(19, 1 << 14, pats, 40)
+    table = compile_patterns(pats)
+    from tpu_pattern_matching.parallel.mesh import make_mesh
+
+    sess = MatchSession(table, max_chunks=1024, chunk_len=128,
+                        engine="bloom", mesh=make_mesh(devices8),
+                        pat_shards=n_shards, verify="device")
+    assert sess._dvf_pshard is not None
+    got = set(sess.find(data))
+    assert got == _oracle_set(pats, data)
+
+
+def test_pshard_device_verify_cross_shard_coterminators(devices8):
+    # patterns that co-terminate at the SAME end position but live in
+    # DIFFERENT shards must merge into ONE MatchEvent whose pattern set
+    # is the global co-terminating group
+    pats = [b"wxyzabcd", b"abcd", b"qrst", b"zabcd"]
+    table = compile_patterns(pats)
+    sb = ShardedBloom.from_table(table, 2)
+    shard_of = {}
+    for s, part in enumerate(sb.parts):
+        for pid in part:
+            shard_of[int(pid)] = s
+    # the suffix family must actually span both shards for the test to
+    # bite (longest-first deal: 0 -> shard 0, 3 -> shard 1)
+    assert shard_of[0] != shard_of[3], shard_of
+    from tpu_pattern_matching.parallel.mesh import make_mesh
+
+    payload = bytearray(b"." * 4000)
+    payload[100:108] = pats[0]  # ends pats 0, 1, 3 at offset 107
+    payload[900:904] = pats[1]  # pat 1 alone
+    payload[2000:2005] = pats[3]  # ends pats 3, 1
+    payload = bytes(payload)
+    sess = MatchSession(table, max_chunks=256, chunk_len=64,
+                        engine="bloom", mesh=make_mesh(devices8),
+                        bloom_table=sb, verify="device")
+    assert sess._dvf_pshard is not None
+    buf = sess.new_buffer()
+    buf.add_stream(io.BytesIO(payload), StreamState(file_id=0))
+    b = buf.to_batch()
+    bm = sess.decode(b, sess.scan(b))
+    assert _event_set(bm.events) == _oracle_set(pats, payload)
+    by_end = {ev.end_offset: ev for ev in bm.events}
+    assert len(by_end) == len(bm.events)  # merged: one event per end
+    assert by_end[107].pattern_indices == [0, 1, 3]
+    assert by_end[107].gid == sess._gid_of_pidset[(0, 1, 3)]
+    assert bm.total == len(bm.events)
+    # counts through the same merged path
+    n_ev, gcounts = sess.decode_counts(b, sess.scan(b))
+    assert n_ev == len(bm.events)
+    want = np.zeros(table.num_groups, np.int64)
+    for ev in bm.events:
+        want[ev.gid] += 1
+    np.testing.assert_array_equal(gcounts, want)
+
+
+def test_pshard_device_verify_capacity_retry(devices8):
+    # a match-dense batch must overflow the first event capacity and
+    # retry (SPMD-safe replicated needs), staying oracle-exact
+    pats = [b" the ", b" and ", b" of the ", b" to "]
+    words = (b" the quick and the lazy of the to and the " * 400)
+    table = compile_patterns(pats)
+    from tpu_pattern_matching.parallel.mesh import make_mesh
+
+    sess = MatchSession(table, max_chunks=512, chunk_len=64,
+                        engine="bloom", mesh=make_mesh(devices8),
+                        pat_shards=2, verify="device")
+    assert sess._dvf_pshard is not None
+    buf = sess.new_buffer()
+    buf.add_stream(io.BytesIO(words), StreamState(file_id=0))
+    b = buf.to_batch()
+    bm = sess.decode(b, sess.scan(b))
+    assert _event_set(bm.events) == _oracle_set(pats, words)
+
+
 def test_sharded_2d_mesh_bitmap_equals_single_device(devices8):
     # the union bitmap from the ("pat","data") mesh must be bit-identical
     # to the single-device S-probe union

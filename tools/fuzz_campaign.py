@@ -122,6 +122,12 @@ def run_trial(trial: int, master_seed: int) -> dict:
         arms["mesh_device_verify"] = dict(
             engine="bloom", mesh=2, verify="device"
         )
+        if len(pat_list) >= 2:
+            # round 5: device-exact events on the ("pat","data") mesh
+            # (per-shard tables + host-side cross-shard event merge)
+            arms["pshard_device_verify"] = dict(
+                engine="bloom", mesh=2, pat_shards=2, verify="device"
+            )
     arms["dense"] = dict(engine="dense", max_results=256)
 
     ran = []

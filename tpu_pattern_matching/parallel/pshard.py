@@ -441,10 +441,15 @@ def make_pattern_sharded_bloom_step(ctx: Mesh2DContext, dev: DeviceShardedBloom)
         union = jax.lax.reduce(
             bits_all, np.int32(0), jax.lax.bitwise_or, (0,)
         )
-        total = jax.lax.psum(
-            jnp.sum(jax.lax.population_count(union)).reshape(1), "data"
+        local = jnp.sum(jax.lax.population_count(union)).reshape(1)
+        # meta [2]: [global union total, MAX per-data-shard total] — the
+        # second is the capacity bound the pat-sharded device-verify
+        # stage buckets with (PshardDeviceVerifier), mirroring the 1D
+        # mesh step's convention (mesh.make_sharded_bloom_step)
+        meta = jnp.concatenate(
+            [jax.lax.psum(local, "data"), jax.lax.pmax(local, "data")]
         )
-        return total, union
+        return meta, union
 
     return jax.jit(
         shard_map(
@@ -629,6 +634,264 @@ def make_pattern_sharded_count_step(
                       exact_hi_s, data, bounds)
 
     return step
+
+
+class PshardDeviceVerifier:
+    """Device-exact EVENTS with the TABLE sharded over "pat".
+
+    The last configuration where the reference's in-kernel emission
+    (ahomatch.cl:63-74: exact ``(pattern_id, offset)`` tuples from the
+    device in every run mode) had no counterpart here: verbose grep on
+    the ("pat", "data") mesh previously had to verify host-side against
+    the GLOBAL pattern set — at the 1M-pattern scale this grid exists
+    for, that host walk was the one non-sharded stage left.
+
+    This is the event-emitting sibling of
+    :func:`make_pattern_sharded_count_step`: device (s, d) walks the
+    union candidate bitmap of ITS lane shard against shard s's OWN dense
+    table (1/S of the global table per chip), refined by shard s's OWN
+    exact-gram set (both bloom fp and other shards' true grams die
+    before the walk), and emits packed ``(lane, end, state)`` tuples
+    sharded over BOTH mesh axes. Exactness per shard is the count step's
+    candidate-subset argument; the union across shards of the per-shard
+    event sets at one (lane, end) is the global co-terminating pattern
+    set, so the host-side merge (session._merge_pshard_events) keys on
+    (lane, end) and unions the shard groups' pattern ids.
+
+    Multi-process: ``Mesh2DContext.build`` keeps every data column's S
+    pat rows on ONE process, so each host's ``addressable_shards`` cover
+    all S shard blocks of its own lanes — events stay host-local, no
+    cross-DCN event gather (the same layout argument as the bitmap
+    decode and :class:`~tpu_pattern_matching.parallel.mesh.MeshDeviceVerifier`).
+
+    Capacity/retry protocol mirrors MeshDeviceVerifier: static bucketed
+    capacities, replicated ``needs`` (SPMD-safe identical retry decision
+    on every process), log-bounded recompiles.
+    """
+
+    def __init__(self, ctx: Mesh2DContext, sharded: ShardedBloom,
+                 shard_tables, halo: int):
+        self.ctx = ctx
+        self.shard_tables = shard_tables
+        cfg = sharded.cfg
+        flat, gids, lmax, gmax = pad_shard_tables(shard_tables)
+        pat_sh = ctx.pat_sharded
+        self.table_flat = jax.device_put(flat, pat_sh)
+        self.state_gid = jax.device_put(gids, pat_sh)
+        self.alphabet_size = shard_tables[0].alphabet_size
+        self.lmax = lmax
+        self.gmax = gmax
+        self.stride = cfg.stride
+        self.q = cfg.q
+        self.halo = halo
+        self._k_walk = 256  # sticky refined-capacity bucket (SPMD-safe)
+        self._steps: dict[tuple[int, int, int], object] = {}
+        # host-side decode tables: shard-local state -> shard group ->
+        # GLOBAL pattern ids (via the shard's id map)
+        self.shard_state_gid_host = [t.state_gid for t in shard_tables]
+        self.shard_groups_global = [
+            [
+                [int(part[pid]) for pid in pids]
+                for pids in t.groups_as_lists()
+            ]
+            for t, part in zip(shard_tables, sharded.parts)
+        ]
+        self.exact_lo = self.exact_hi = None
+        self.exact_meta = None
+        keys = sharded.shard_gram_keys
+        if keys is not None and all(len(k) for k in keys):
+            from tpu_pattern_matching.ops.exact_gram import (
+                tables_from_keys_common,
+            )
+
+            xts = tables_from_keys_common(
+                keys, cfg.q,
+                bits=(self.alphabet_size - 1).bit_length(),
+            )
+            x0 = xts[0]
+            # shared static meta across shards (same rule as the count
+            # step): n only feeds the n==0 early-out, so min() is safe
+            self.exact_meta = (x0.dmax, x0.m, x0.c1, x0.c2,
+                               min(t.n for t in xts),
+                               bool(cfg.fold_case), x0.use_hi, x0.bits)
+            self.exact_lo = jax.device_put(
+                np.stack([t.lo.view(np.int32) for t in xts]), pat_sh
+            )
+            self.exact_hi = (
+                jax.device_put(
+                    np.stack([t.hi.view(np.int32) for t in xts]), pat_sh
+                )
+                if x0.use_hi
+                else None
+            )
+
+    def _step(self, k_cand: int, k_ev: int, k_walk: int):
+        key = (k_cand, k_ev, k_walk)
+        if key in self._steps:
+            return self._steps[key]
+        try:
+            from jax import shard_map
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
+
+        from tpu_pattern_matching.ops.verify_device import _verify_kernel
+
+        exact_meta = self.exact_meta
+        both = ("pat", "data")
+
+        def local_step(table_flat, state_gid, exact_lo, exact_hi,
+                       data, bounds, bits):
+            meta, packed, gcounts = _verify_kernel(
+                table_flat[0],
+                state_gid[0],
+                data,
+                bounds,
+                bits,
+                exact_lo[0] if exact_lo is not None else None,
+                exact_hi[0] if exact_hi is not None else None,
+                alphabet_size=self.alphabet_size,
+                stride=self.stride,
+                q=self.q,
+                lmax=self.lmax,
+                halo=self.halo,
+                k_cand=k_cand,
+                k_ev=k_ev,
+                num_groups=self.gmax,
+                exact_meta=exact_meta,
+                k_walk=k_walk,
+            )
+            # flags are a BITMASK: OR across every device via per-bit pmax
+            flags_or = (
+                jax.lax.pmax(meta[3] & 1, both)
+                | jax.lax.pmax(meta[3] & 2, both)
+                | jax.lax.pmax(meta[3] & 4, both)
+            )
+            needs = jnp.stack(
+                [
+                    # global event ROWS (pre-merge: cross-shard
+                    # co-terminators count once per shard — the host
+                    # merge computes the exact event total)
+                    jax.lax.psum(meta[0], both),
+                    jax.lax.pmax(meta[0], both),  # max per-device events
+                    jax.lax.pmax(meta[4], both),  # max per-device refined
+                    flags_or,
+                ]
+            )
+            return (
+                needs,
+                meta[None, None],
+                packed[None, None],
+                jax.lax.psum(gcounts, "data")[None],
+            )
+
+        step = jax.jit(
+            shard_map(
+                local_step,
+                mesh=self.ctx.mesh,
+                in_specs=(P("pat"), P("pat"),
+                          P("pat") if self.exact_lo is not None else P(),
+                          P("pat") if self.exact_hi is not None else P(),
+                          P("data"), P(None, "data"), P(None, "data")),
+                out_specs=(P(), P("pat", "data", None),
+                           P("pat", "data", None, None), P("pat", None)),
+                check_vma=False,  # pallas outputs carry no vma metadata
+            )
+        )
+        self._steps[key] = step
+        return step
+
+    def _assemble(self, metas, packed, C_local: int):
+        """Host-local (shard, lane, end, state) arrays from the 2D-sharded
+        packed tuples: device (s, d)'s block rebases local lane ids by
+        d * C_local, then by this host's first lane — valid because each
+        process's data columns are contiguous in device order
+        (Mesh2DContext.build packs per-process devices pat-major)."""
+        per_meta: dict[tuple[int, int], np.ndarray] = {}
+        for sh in metas.addressable_shards:
+            s = sh.index[0].start or 0
+            d = sh.index[1].start or 0
+            per_meta[(s, d)] = np.asarray(sh.data)[0, 0]
+        shards, lanes, ends, states = [], [], [], []
+        seen: set[tuple[int, int]] = set()
+        cols: set[int] = set()
+        for sh in packed.addressable_shards:
+            s = sh.index[0].start or 0
+            d = sh.index[1].start or 0
+            if (s, d) in seen:
+                continue
+            seen.add((s, d))
+            cols.add(d)
+            rep = int(per_meta[(s, d)][1])
+            if not rep:
+                continue
+            blk = np.asarray(sh.data)[0, 0][:, :rep]
+            shards.append(np.full(rep, s, np.int64))
+            lanes.append(blk[0].astype(np.int64) + d * C_local)
+            ends.append(blk[1].astype(np.int64))
+            states.append(blk[2].astype(np.int64))
+        lane0 = min(cols) * C_local if cols else 0
+        if not lanes:
+            z = np.zeros(0, np.int64)
+            return z, z, z, z
+        return (
+            np.concatenate(shards),
+            np.concatenate(lanes) - lane0,
+            np.concatenate(ends),
+            np.concatenate(states),
+        )
+
+    def verify(self, data, bounds, bits, total_max: int):
+        """(shards, lanes, ends, states, gcounts): per-shard device event
+        rows for THIS HOST's lanes (merge them with
+        session._merge_pshard_events) + per-shard group counts [S, Gmax]
+        psum-reduced over "data". Raises RuntimeError past
+        MAX_DEVICE_CAND per data shard (caller falls back to host
+        verify — loud, lossless). SPMD: call in lockstep everywhere."""
+        from tpu_pattern_matching.ops.verify_device import (
+            MAX_DEVICE_CAND,
+            next_cap,
+        )
+
+        if total_max > MAX_DEVICE_CAND:
+            raise RuntimeError(
+                f"{total_max} candidates on one lane shard exceed the "
+                f"device-verify cap {MAX_DEVICE_CAND}; host verify "
+                f"handles this batch"
+            )
+        C_local = data.shape[0] // self.ctx.data_size
+        k_cand = next_cap(total_max)
+        if self.exact_meta is None:
+            k_walk = k_ev = k_cand
+        else:
+            k_walk = k_ev = min(k_cand, self._k_walk)
+        needs_d, metas, packed, gc = self._step(k_cand, k_ev, k_walk)(
+            self.table_flat, self.state_gid, self.exact_lo,
+            self.exact_hi, data, bounds, bits
+        )
+        needs = np.asarray(needs_d)
+        if needs[3] & 4:  # refine overflow: retry with the exact need
+            k_walk = k_ev = min(k_cand, next_cap(int(needs[2])))
+            needs_d, metas, packed, gc = self._step(k_cand, k_ev, k_walk)(
+                self.table_flat, self.state_gid, self.exact_lo,
+                self.exact_hi, data, bounds, bits
+            )
+            needs = np.asarray(needs_d)
+        if needs[3] & 2:  # event overflow: retry with the exact need
+            k_ev = next_cap(int(needs[1]))
+            needs_d, metas, packed, gc = self._step(k_cand, k_ev, k_walk)(
+                self.table_flat, self.state_gid, self.exact_lo,
+                self.exact_hi, data, bounds, bits
+            )
+            needs = np.asarray(needs_d)
+        if self.exact_meta is not None:
+            self._k_walk = next_cap(int(needs[2]))
+        if needs[3] & 1:
+            raise RuntimeError(
+                "pshard device verify candidate overflow with a bucketed "
+                "capacity — probe max-total and bitmap disagree (bug)"
+            )
+        sh, ln, e, st = self._assemble(metas, packed, C_local)
+        return sh, ln, e, st, np.asarray(gc)
 
 
 def global_pattern_counts(

@@ -278,16 +278,33 @@ class MatchSession:
         base_halo = (table.max_pat_len - 1) if halo is None else halo
         # pad so the scan engine's 8-wide unroll divides the tile length
         self.halo = pad_halo(base_halo, chunk_len)
+        self._dvf_pshard = None
         if self.verify_mode == "device":
             if self._pshard_ctx is not None:
-                raise ValueError(
-                    "verify='device' with pat_shards on a mesh: the union "
-                    "bitmap would walk the GLOBAL dense table, defeating "
-                    "the 1/S-table-per-chip point of pattern sharding — "
-                    "use parallel.pshard.make_pattern_sharded_count_step "
-                    "for all-device counts, or host verify for events"
+                # device-exact EVENTS with the table sharded over "pat":
+                # each device walks the union bitmap against its shard's
+                # OWN 1/S dense table (compiled here from the shard's
+                # global pattern ids); co-terminating events merge across
+                # shards at host decode (_merge_pshard_events)
+                from tpu_pattern_matching.core.dfa import AhoCorasick
+                from tpu_pattern_matching.parallel.pshard import (
+                    PshardDeviceVerifier,
                 )
-            if self._mesh_ctx is not None:
+
+                shard_tables = []
+                for part in self.bloom_table.parts:
+                    ac = AhoCorasick(
+                        table.alphabet_size,
+                        nocase=getattr(table, "nocase", False),
+                    )
+                    for pid in part:
+                        ac.add_pattern(table.patterns[pid].symbols)
+                    shard_tables.append(ac.compile())
+                self._dvf_pshard = PshardDeviceVerifier(
+                    self._pshard_ctx, self.bloom_table, shard_tables,
+                    self.halo,
+                )
+            elif self._mesh_ctx is not None:
                 from tpu_pattern_matching.parallel.mesh import (
                     MeshDeviceVerifier,
                 )
@@ -422,7 +439,7 @@ class MatchSession:
             from tpu_pattern_matching.ops.bloom import BloomHits
 
             total, bits = self._bloom_step(self._bloom.words, data, bounds)
-            if self._dvf_mesh is not None:
+            if self._dvf_mesh is not None or self._dvf_pshard is not None:
                 # the meshed device-verify stage walks the SAME sharded
                 # arrays the probe scanned — keep the handles
                 return BloomHits(
@@ -576,6 +593,46 @@ class MatchSession:
             )
         return events
 
+    def _merge_pshard_events(
+        self, batch: HostBatch, sh_a, ln_a, e_a, st_a
+    ) -> list[MatchEvent]:
+        """Merge per-shard device event rows into global MatchEvents.
+
+        A pattern lives in exactly one shard, so the union over shards of
+        the per-shard co-terminating sets at one (lane, end) is the
+        GLOBAL co-terminating pattern set at that end — the same event the
+        single-table walk (and the reference kernel, ahomatch.cl:63-74)
+        emits. Keyed on (lane, end); shard-local states translate
+        shard group -> global pattern ids via the shard's id map."""
+        v = self._dvf_pshard
+        merged: dict[tuple[int, int], set] = {}
+        for s, ln, e, st in zip(
+            sh_a.tolist(), ln_a.tolist(), e_a.tolist(), st_a.tolist()
+        ):
+            g = int(v.shard_state_gid_host[s][st])
+            merged.setdefault((ln, e), set()).update(
+                v.shard_groups_global[s][g]
+            )
+        file_ids = batch.file_ids
+        base_off = batch.base_off
+        halo = batch.halo
+        events = []
+        for (ln, e), pidset in merged.items():
+            pids = sorted(pidset)
+            events.append(
+                MatchEvent(
+                    file_id=int(file_ids[ln]),
+                    end_offset=int(base_off[ln]) + e - halo,
+                    pattern_indices=pids,
+                    rep_index=pids[0],
+                    lane=ln,
+                    gid=self._gid_of_pidset.get(tuple(pids), -1),
+                )
+            )
+        if self.sort:  # canonical order (MATCHING.md "--sort semantics")
+            events.sort(key=lambda ev: (ev.file_id, ev.end_offset))
+        return events
+
     def _device_verify(self, comp, total: int):
         """Run the device verify stage; (meta, packed, gcounts) host arrays
         or None when this batch exceeds the device cap (host fallback)."""
@@ -629,6 +686,34 @@ class MatchSession:
                     1,
                     "bloom refine overflow (%d candidates): k_ref -> %d",
                     total, bl.k_ref,
+                )
+        if total and self._dvf_pshard is not None and comp.data is not None:
+            try:
+                sh_a, ln_a, e_a, st_a, _gc = self._dvf_pshard.verify(
+                    comp.data, comp.bounds, comp.bits, total_max
+                )
+            except RuntimeError as e:
+                from tpu_pattern_matching.utils.debug import dprint
+
+                dprint(1, "pshard device verify fell back to host: %s", e)
+            else:
+                events = self._merge_pshard_events(
+                    batch, sh_a, ln_a, e_a, st_a
+                )
+                from tpu_pattern_matching.parallel.mesh import (
+                    allreduce_host_counts,
+                )
+
+                n_glob = int(
+                    allreduce_host_counts(
+                        np.array([len(events)], np.int64)
+                    )[0]
+                )
+                return BatchMatches(
+                    events=events,  # this host's lane-shard-local set
+                    total=n_glob,  # exact GLOBAL merged event count
+                    reported=len(events),
+                    overflowed=False,
                 )
         if total and self._dvf_mesh is not None and comp.data is not None:
             try:
@@ -719,6 +804,38 @@ class MatchSession:
             total = int(meta_h[0])
             if not total:
                 return 0, np.zeros(G, np.int64)
+            if self._dvf_pshard is not None and comp.data is not None:
+                total_max = (
+                    int(meta_h[1]) if meta_h.shape[0] > 1 else total
+                )
+                try:
+                    sh_a, ln_a, e_a, st_a, _gc = self._dvf_pshard.verify(
+                        comp.data, comp.bounds, comp.bits, total_max
+                    )
+                except RuntimeError as e:
+                    from tpu_pattern_matching.utils.debug import dprint
+
+                    dprint(
+                        1, "pshard device count fell back to host: %s", e
+                    )
+                else:
+                    # merged (global-group) counts for this host's lanes,
+                    # then allreduce — same global contract as the 1D
+                    # mesh verifier's psum counts
+                    from tpu_pattern_matching.parallel.mesh import (
+                        allreduce_host_counts,
+                    )
+
+                    events = self._merge_pshard_events(
+                        batch, sh_a, ln_a, e_a, st_a
+                    )
+                    loc = np.zeros(G + 1, np.int64)  # [counts..., total]
+                    loc[G] = len(events)
+                    for ev in events:
+                        if ev.gid >= 0:
+                            loc[ev.gid] += 1
+                    red = allreduce_host_counts(loc).astype(np.int64)
+                    return int(red[G]), red[:G]
             if self._dvf_mesh is not None and comp.data is not None:
                 total_max = (
                     int(meta_h[1]) if meta_h.shape[0] > 1 else total

@@ -147,6 +147,97 @@ def make_sharded_scan_step(
     return step
 
 
+@dataclasses.dataclass
+class MeshDenseMatches:
+    """Dense-engine results of one meshed batch, lane-sharded.
+
+    The transplanted reference design (ahomatch.cl's in-kernel tuple
+    emission + the prefix-sum compaction) on a multi-process mesh: the
+    single-array compaction referenced GLOBAL lanes no single host could
+    decode, so the dense engine was single-process-only until round 5.
+    Here each device compacts ITS OWN lanes and the packed blocks come
+    back sharded ``P("data")`` — each host decodes exactly the lanes it
+    fed, the same host-local layout as the bloom bitmap and the two
+    device-verify event paths.
+
+    ``metas[d] = [global_total, global_reported, local_total,
+    local_reported]`` (global entries psum-replicated into every row);
+    ``gcounts`` are the in-scan exact per-group counts, psum-reduced
+    across the whole mesh (exact even past slot/capacity overflow)."""
+
+    metas: jax.Array  # [D, 4] int32, lane-sharded rows
+    packed: jax.Array  # [D, 5, cap] int32: lane, pos, state, gid, rep_pid
+    gcounts: jax.Array  # [G] int32, replicated (global psum)
+
+
+def make_sharded_dense_step(
+    ctx: MeshContext,
+    table: DeviceTable,
+    *,
+    halo: int,
+    max_results: int,
+    num_groups: int,
+    capacity: int,
+):
+    """Scan + per-device compaction under shard_map (the dense engine's
+    multi-process step). Unlike :func:`make_sharded_scan_step` (whose
+    per-lane slot arrays this wraps), the compaction happens INSIDE the
+    shard so result tuples never leave their owner device's lane shard.
+    ``capacity`` bounds each DEVICE's packed block; totals stay exact
+    past it (in-scan gcounts + psum'd totals)."""
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    from tpu_pattern_matching.ops.compact import _compact_jit
+
+    axis = ctx.axis
+
+    def local_step(table_flat, state_gid, group_rep, data, bounds):
+        res = _scan_kernel(
+            table_flat,
+            jax.lax.optimization_barrier(data.T),
+            bounds[0],
+            bounds[1],
+            alphabet_size=table.alphabet_size,
+            halo=halo,
+            max_results=max_results,
+            state_gid=state_gid,
+            num_groups=num_groups,
+        )
+        meta, packed = _compact_jit(
+            res.counts,
+            res.slot_state,
+            res.slot_pos,
+            state_gid,
+            group_rep,
+            capacity=capacity,
+        )
+        metas = jnp.concatenate(
+            [jax.lax.psum(meta, axis), meta]
+        )  # [g_total, g_reported, l_total, l_reported]
+        return metas[None], packed[None], jax.lax.psum(res.gcounts, axis)
+
+    step = jax.jit(
+        shard_map(
+            local_step,
+            mesh=ctx.mesh,
+            in_specs=(P(), P(), P(), P(axis), P(None, axis)),
+            out_specs=(P(axis, None), P(axis, None, None), P()),
+            check_vma=False,
+        )
+    )
+
+    def run(data, bounds) -> MeshDenseMatches:
+        metas, packed, gcounts = step(
+            table.table_flat, table.state_gid, table.group_rep, data, bounds
+        )
+        return MeshDenseMatches(metas=metas, packed=packed, gcounts=gcounts)
+
+    return run
+
+
 def allreduce_host_counts(counts: np.ndarray) -> np.ndarray:
     """Sum per-host count vectors across processes.
 

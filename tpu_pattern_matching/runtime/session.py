@@ -177,14 +177,6 @@ class MatchSession:
             self._mesh_ctx = ctx
             import jax
 
-            if jax.process_count() > 1 and engine == "dense":
-                raise ValueError(
-                    "multi-process meshes support the bloom engine "
-                    "(host-local decode of the lane-sharded bitmap); the "
-                    "dense engine's compacted tuples reference global "
-                    "lanes no single host can decode — use engine='bloom' "
-                    "or the sharded count step"
-                )
             if pat_shards > 1:
                 from tpu_pattern_matching.parallel.pshard import (
                     Mesh2DContext,
@@ -363,6 +355,26 @@ class MatchSession:
         self.chunk_len = chunk_len
         self.max_results = max_results
         self.sort = sort
+        self._dense_step = None
+        if engine == "dense" and self._mesh_ctx is not None:
+            # lane-sharded per-device compaction (round 5): result tuples
+            # never leave their owner's lane shard, so each host decodes
+            # exactly the lanes it fed — lifting the dense engine's
+            # single-process restriction (the transplanted reference
+            # design, ahomatch.cl, now runs on multi-process meshes too)
+            from tpu_pattern_matching.parallel.mesh import (
+                make_sharded_dense_step,
+            )
+
+            c_local = max_chunks // self._mesh_ctx.num_devices
+            self._dense_step = make_sharded_dense_step(
+                self._mesh_ctx,
+                self.dev,
+                halo=self.halo,
+                max_results=max_results,
+                num_groups=table.num_groups,
+                capacity=min(c_local * max_results, 8192),
+            )
         from tpu_pattern_matching.utils.debug import dprint
 
         dprint(
@@ -460,6 +472,8 @@ class MatchSession:
                     meta=h.meta, bits=h.bits, data=data, bounds=bounds
                 )
             return self._bloom.hits(data, bounds)
+        if self._dense_step is not None:
+            return self._dense_step(data, bounds)
         return scan_and_compact(
             self.dev,
             data,
@@ -481,6 +495,10 @@ class MatchSession:
 
         if isinstance(comp, BloomHits):
             return self._decode_bloom(batch, comp)
+        from tpu_pattern_matching.parallel.mesh import MeshDenseMatches
+
+        if isinstance(comp, MeshDenseMatches):
+            return self._decode_dense_mesh(batch, comp)
         meta = np.asarray(comp.meta)
         total, reported = int(meta[0]), int(meta[1])
         if reported:
@@ -592,6 +610,62 @@ class MatchSession:
                 )
             )
         return events
+
+    def _decode_dense_mesh(self, batch: HostBatch, comp) -> BatchMatches:
+        """Host-local decode of the lane-sharded dense results
+        (parallel.mesh.MeshDenseMatches): each addressable packed block
+        holds one device's compacted tuples over its OWN lanes; local
+        lane ids rebase by the device's global lane offset, then by this
+        host's first lane — the same contiguous-per-process device-order
+        assumption as every other mesh decode path."""
+        cap = comp.packed.shape[2]
+        C_local = self.max_chunks // self._mesh_ctx.num_devices
+        per_meta: dict[int, np.ndarray] = {}
+        for sh in comp.metas.addressable_shards:
+            d = sh.index[0].start or 0
+            per_meta[d] = np.asarray(sh.data)[0]
+        g_total = g_rep = 0
+        blocks: list[tuple[int, np.ndarray]] = []
+        seen: set[int] = set()
+        for sh in comp.packed.addressable_shards:
+            d = sh.index[0].start or 0
+            if d in seen:
+                continue
+            seen.add(d)
+            m = per_meta[d]
+            g_total, g_rep = int(m[0]), int(m[1])  # psum: same per row
+            rep = min(int(m[3]), cap)
+            if rep:
+                blocks.append((d, np.asarray(sh.data)[0][:, :rep]))
+        lane0 = min(seen) * C_local if seen else 0
+        file_ids = batch.file_ids
+        base_off = batch.base_off
+        groups = self._groups
+        events = []
+        for d, blk in blocks:
+            ln_a = blk[0].astype(np.int64) + d * C_local - lane0
+            for k in range(blk.shape[1]):
+                ln = int(ln_a[k])
+                g = int(blk[3][k])
+                pids = groups[g]
+                events.append(
+                    MatchEvent(
+                        file_id=int(file_ids[ln]),
+                        end_offset=int(base_off[ln]) + int(blk[1][k]),
+                        pattern_indices=pids,
+                        rep_index=pids[0],
+                        lane=ln,
+                        gid=g,
+                    )
+                )
+        if self.sort:  # canonical order (MATCHING.md "--sort semantics")
+            events.sort(key=lambda ev: (ev.file_id, ev.end_offset))
+        return BatchMatches(
+            events=events,  # this host's lane-shard-local set
+            total=g_total,  # exact GLOBAL event count (psum, incl.
+            reported=len(events),  # per-lane slot overflow)
+            overflowed=g_total > g_rep,
+        )
 
     def _merge_pshard_events(
         self, batch: HostBatch, sh_a, ln_a, e_a, st_a
@@ -871,6 +945,13 @@ class MatchSession:
             return len(ln_a), np.bincount(gid_a, minlength=G).astype(
                 np.int64
             )
+        from tpu_pattern_matching.parallel.mesh import MeshDenseMatches
+
+        if isinstance(comp, MeshDenseMatches):
+            # in-scan gcounts psum'd across the WHOLE mesh on device —
+            # already global, like the mesh device-verify count path
+            m = np.asarray(comp.metas.addressable_shards[0].data)[0]
+            return int(m[0]), np.asarray(comp.gcounts).astype(np.int64)
         # dense engine: the in-scan gcounts are exact even past slot
         # overflow (the slot-derived per_group_counts undercount there)
         if getattr(comp, "gcounts", None) is not None:

@@ -170,6 +170,20 @@ def main() -> None:
 
     from tpu_pattern_matching.ops.costmodel import get_cost_constants
 
+    import sys
+
+    cal_source = get_cost_constants().source
+    if jax.devices()[0].platform in ("tpu", "axon") and not (
+        cal_source.startswith("calibrated:")
+    ):
+        print(
+            f"WARNING: chooser pricing fell back to shipped defaults "
+            f"({cal_source}) on a TPU platform — run "
+            f"`python -m tpu_pattern_matching.ops.costmodel` once on this "
+            f"machine to calibrate (VERDICT r4 weak 5)",
+            file=sys.stderr,
+        )
+
     print(
         json.dumps(
             {

@@ -118,6 +118,67 @@ def test_bitcast_byte_order_and_device_verify_on_hardware():
     assert sess.find(data) == sorted(match_python(pats, data))
 
 
+def test_mesh_kernels_on_hardware():
+    # round 5 (VERDICT r4 item 7): the round-4 mesh kernels — the
+    # shard_map bloom probe, MeshDeviceVerifier events, and the all-device
+    # count step — must Mosaic-compile and run on real silicon. A 1-device
+    # mesh makes the collectives no-ops but the compiled SPMD shard_map
+    # step and the device-verify walk are the real multi-chip code path.
+    import io
+
+    import jax
+
+    from tpu_pattern_matching.core.dfa import compile_patterns
+    from tpu_pattern_matching.core.oracle import match_python
+    from tpu_pattern_matching.parallel.mesh import (
+        MeshContext,
+        make_mesh,
+        make_sharded_bloom_count_step,
+    )
+    from tpu_pattern_matching.runtime.buffers import StreamState
+    from tpu_pattern_matching.runtime.session import MatchSession
+
+    ctx = MeshContext(make_mesh(jax.devices()[:1]))
+    rng = np.random.RandomState(33)
+    pats = [bytes(rng.randint(0, 256, size=rng.randint(5, 13)).astype(np.uint8))
+            for _ in range(96)]
+    data = bytearray(rng.randint(0, 256, size=1 << 15).astype(np.uint8))
+    for i, pos in enumerate((3, 8000, 32000)):
+        p = pats[i]
+        data[pos : pos + len(p)] = p
+    data = bytes(data)
+    want = sorted(match_python(pats, data))
+    want_pos = {off for off, _ in want}
+
+    table = compile_patterns(pats)
+    sess = MatchSession(table, max_chunks=128, chunk_len=512,
+                        engine="bloom", mesh=ctx, verify="device")
+    assert sess._dvf_mesh is not None
+    assert sess.find(data) == want
+
+    # the all-device count step (probe + device verify + psum group counts
+    # in one jit) must agree with the event path
+    step = make_sharded_bloom_count_step(
+        ctx, sess._bloom, table, halo=sess.halo, k_cand=4096, k_ev=4096
+    )
+    buf = sess.new_buffer()
+    buf.add_stream(io.BytesIO(data), StreamState(file_id=0))
+    b = buf.to_batch()
+    gcounts, n_ev, flags, _needs = step(
+        sess._bloom.words,
+        jax.device_put(
+            np.ascontiguousarray(table.goto_signed).reshape(-1),
+            ctx.replicated,
+        ),
+        jax.device_put(table.state_gid.astype(np.int32), ctx.replicated),
+        jax.device_put(b.data, ctx.lane_sharded),
+        jax.device_put(np.stack([b.start_t, b.end_t]), ctx.lane_sharded2d),
+    )
+    assert int(np.asarray(flags)) == 0
+    assert int(np.asarray(n_ev)) == len(want_pos)
+    assert int(np.asarray(gcounts).sum()) == len(want_pos)
+
+
 def test_refined_ushort_session_on_hardware():
     # the Mosaic-compiled alphabet-2048 probe with the exact-gram
     # refinement stage fused in (11-bit key packing: straddles the 32-bit

@@ -119,26 +119,28 @@ def test_device_verify_ushort_alphabet():
     assert got == [(3, 0), (6, 1), (7, 1)]
 
 
-def test_device_verify_mesh_composes_pshard_rejected():
+def test_device_verify_mesh_composes_pshard():
     import jax
 
     if len(jax.devices()) < 2:
         pytest.skip("needs multi-device (simulated CPU mesh)")
     # round 4: verify='device' + mesh= is a supported composition (the
-    # MeshDeviceVerifier path, test_multichip.py); only the pat-sharded
-    # 2D mesh still rejects it — walking the union bitmap against the
-    # GLOBAL table would defeat the 1/S-table-per-chip point
+    # MeshDeviceVerifier path, test_multichip.py); round 5 lifted the
+    # last rejection — the pat-sharded 2D mesh now runs device events via
+    # PshardDeviceVerifier (per-shard walk against each shard's OWN 1/S
+    # table + cross-shard co-terminator merge at decode, test_pshard.py)
     sess = MatchSession(
         compile_patterns([b"xy"]), max_chunks=256, chunk_len=64,
         engine="bloom", verify="device", mesh=2,
     )
     assert sess._dvf_mesh is not None
-    with pytest.raises(ValueError, match="pat_shards"):
-        MatchSession(
-            compile_patterns([b"xy", b"qrs"]), max_chunks=256,
-            chunk_len=64, engine="bloom", verify="device", mesh=2,
-            pat_shards=2,
-        )
+    sess2 = MatchSession(
+        compile_patterns([b"xy", b"qrs"]), max_chunks=256,
+        chunk_len=64, engine="bloom", verify="device", mesh=2,
+        pat_shards=2,
+    )
+    assert sess2._dvf_pshard is not None
+    assert sess2.find(b"aaxybbqrsccxy") == [(3, 0), (8, 1), (12, 0)]
 
 
 def test_device_verify_streaming_halo_continuity():

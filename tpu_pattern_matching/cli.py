@@ -27,7 +27,9 @@ Extensions beyond the reference:
   --ushort        packet-metadata mode (AC_ushorts variant): patterns are
                   metadata signatures ("seq; len; name"), inputs are
                   comma-separated ushort lines
-  --sort          sort matches by offset before reporting
+  --sort          sort matches by offset before reporting (per batch)
+  --sort-global   globally ordered verbose output for -w > 1 multi-file
+                  runs (buffers the run's match lines; not for -F)
   --save-dfa/--load-dfa   compiled-automaton serialization (npz)
   --json-stats    machine-readable stats line in addition to the stats block
   --profile DIR   jax.profiler trace of the run
@@ -79,6 +81,17 @@ def build_argparser() -> argparse.ArgumentParser:
     )
     ap.add_argument("--ushort", action="store_true", help="packet-metadata mode")
     ap.add_argument("--sort", action="store_true")
+    ap.add_argument(
+        "--sort-global",
+        dest="sort_global",
+        action="store_true",
+        help="buffer ALL verbose match lines and emit them in one global "
+        "canonical (file, offset) order at end of run — batch/worker "
+        "interleaving no longer shows (requires -v; memory grows with "
+        "the total match count; incompatible with -F, which never ends). "
+        "Multi-process runs order globally per host (hosts own disjoint "
+        "files)",
+    )
     ap.add_argument(
         "--mesh",
         default=None,
@@ -174,6 +187,13 @@ def check_args(args) -> None:
     if args.chunk_size <= 0 or args.global_ws <= 0:
         print("ERROR: chunk size and global work size must be >= 1",
               file=sys.stderr)
+        err += 1
+    if getattr(args, "sort_global", False) and args.follow:
+        print(
+            "ERROR: --sort-global buffers the whole run's matches; a -F "
+            "follow stream never ends (use --sort for per-batch order)",
+            file=sys.stderr,
+        )
         err += 1
     if err:
         sys.exit(2)
@@ -322,7 +342,7 @@ def main(argv: list[str] | None = None) -> int:
         max_chunks=args.global_ws,
         chunk_len=args.chunk_size,
         max_results=args.max_results,
-        sort=args.sort,
+        sort=args.sort or args.sort_global,
         engine=args.engine,
         verify=args.verify,
         mesh=mesh,
@@ -394,6 +414,8 @@ def main(argv: list[str] | None = None) -> int:
             window = window[:nl]
         return " ... " + window.decode("latin-1", "replace") + " ... "
 
+    global_out: list = []  # --sort-global: (canonical key, rendered lines)
+
     def consume(item, comp):
         bm = sess.decode(item.batch, comp)
         stats.rounds += 1
@@ -417,11 +439,21 @@ def main(argv: list[str] | None = None) -> int:
                     pat = table.patterns[pidx]
                     start_off = ev.end_offset - pat.n + 1
                     rel = start_off - int(item.batch.base_off[ev.lane])
-                    print(
+                    lines = (
                         f"Pattern {pat.iid} ('{pat.label}') found in file "
                         f"'{fname}' at offset {start_off} [relative: {rel}]"
+                        f"\n{context_echo(item.batch, ev, pat.n)}"
                     )
-                    print(context_echo(item.batch, ev, pat.n))
+                    if args.sort_global:
+                        # consumer-side merge on the canonical key
+                        # (MATCHING.md "--sort semantics"): batches arrive
+                        # per-batch sorted; the run-end sort makes the
+                        # order GLOBAL across worker/batch interleaving
+                        global_out.append(
+                            ((ev.file_id, ev.end_offset, pidx), lines)
+                        )
+                    else:
+                        print(lines)
 
     start = now_us()
     with device_trace(args.profile):
@@ -471,6 +503,10 @@ def main(argv: list[str] | None = None) -> int:
                     consume(*pending.popleft())
         while pending:
             consume(*pending.popleft())
+    if args.sort_global:
+        global_out.sort(key=lambda kv: kv[0])
+        for _key, lines in global_out:
+            print(lines)
     stats.wall_us = now_us() - start
 
     if jax.process_count() > 1:

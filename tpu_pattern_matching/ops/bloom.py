@@ -408,7 +408,7 @@ class BloomFilterTable:
         # VERIFY_NS_PER_CAND — host native-walker cost per candidate.
         from tpu_pattern_matching.ops.costmodel import get_cost_constants
 
-        _cc = get_cost_constants()
+        _cc = get_cost_constants(alphabet_size)
         PROBE_NS_PER_UNIT = _cc.probe_ns_per_unit
         REFINE_NS_PER_SLOT = _cc.refine_ns_per_slot
         REFINE_FIXED_NS_PER_BYTE = _cc.refine_fixed_ns_per_byte

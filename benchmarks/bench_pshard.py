@@ -199,6 +199,23 @@ def main(n_patterns: int = 300_000, n_shards: int = 8) -> None:
             )
         except Exception as e:
             out["mux_events_error"] = repr(e)[:300]
+    if "--split" in sys.argv:
+        if shard_tables is None:
+            from tpu_pattern_matching.core.dfa import compile_patterns
+
+            t0 = time.time()
+            shard_tables = [
+                compile_patterns([pats[i] for i in sharded.parts[s]])
+                for s in range(n_shards)
+            ]
+            out["shard_tables_build_s"] = round(time.time() - t0, 1)
+        try:
+            out.update(
+                split_arm(jax, jnp, sharded, shard_tables, C, B0,
+                          halo, interpret, drng)
+            )
+        except Exception as e:
+            out["split_error"] = repr(e)[:300]
     print(json.dumps(out))
 
 
@@ -502,6 +519,187 @@ def mux_events_arm(jax, jnp, sharded, shard_tables, C, B0, halo,
         "mux_events_per_chip_bytes_per_s": S * size / per_mux,
         "mux_events_decode_s_per_batch_tunnel_bound": best_decode,
         "mux_events_merged": merged_events,
+    }
+
+
+def split_arm(jax, jnp, sharded, shard_tables, C, B0, halo, interpret,
+              drng) -> dict:
+    """Compile-friendly measured service point of the ("pat","data")
+    mesh (count AND events — the verify kernel is the same; the count
+    path merely discards the packed tuples).
+
+    The S-shards-muxed-in-one-jit arm (mux_count_arm/mux_events_arm) is
+    the cleanest protocol but its 8x-unrolled kernel broke the
+    remote-compile tunnel at 300k scale (Broken pipe after a ~1h
+    compile). This arm measures the SAME per-chip work as two small
+    separately-K-looped stages a deployed chip actually runs per batch:
+
+    - probe its OWN shard's filter over its lane shard (the one_shard
+      arm's kernel);
+    - verify the UNION bitmap (precomputed once here; on hardware it
+      arrives over ICI) against its OWN 1/S table with its OWN
+      exact-gram refinement, emitting packed events + group counts.
+
+    per_chip_bytes_per_s = size / (T_probe + T_verify). The bitmap
+    all_gather+OR over ICI remains the one unmeasured term (same caveat
+    as every pshard projection). The decode fetch + cross-shard merge is
+    wall-clocked separately (tunnel-bound here).
+
+    Matches are PLANTED at ~1e-4 density (pure-random data would leave
+    the events path with nothing to emit).
+    """
+    import functools
+
+    from tpu_pattern_matching.ops.bloom import _hits_jit
+    from tpu_pattern_matching.ops.exact_gram import tables_from_keys_common
+    from tpu_pattern_matching.ops.verify_device import (
+        MAX_DEVICE_CAND,
+        _verify_kernel,
+        next_cap,
+    )
+    from tpu_pattern_matching.parallel.pshard import (
+        _sharded_hits_jit,
+        pad_shard_tables,
+    )
+
+    S = sharded.n_shards
+    cfg = sharded.cfg
+    flat, gids, lmax, gmax = pad_shard_tables(shard_tables)
+    table0 = jax.device_put(np.ascontiguousarray(flat[0]))
+    gid0 = jax.device_put(np.ascontiguousarray(gids[0]))
+    xts = tables_from_keys_common(sharded.shard_gram_keys, cfg.q, bits=8)
+    x0 = xts[0]
+    exact_meta = (x0.dmax, x0.m, x0.c1, x0.c2,
+                  min(t.n for t in xts), bool(cfg.fold_case),
+                  x0.use_hi, x0.bits)
+    exact_lo0 = jax.device_put(xts[0].lo.view(np.int32))
+    exact_hi0 = (jax.device_put(xts[0].hi.view(np.int32))
+                 if x0.use_hi else None)
+    words0 = jax.device_put(np.ascontiguousarray(sharded.words[0]))
+    wordsS = jax.device_put(sharded.words)
+
+    B = B0 + (-(halo + B0)) % cfg.tile_rows
+    size = C * B
+    data_np = drng.randint(0, 256, size=(C, halo + B)).astype(np.uint8)
+    n_seed = max(32, int(size * 1e-4) // 12)
+    for k in range(n_seed):
+        t = shard_tables[k % S]
+        p = t.patterns[k % len(t.patterns)].symbols
+        ln = int(drng.randint(0, C))
+        pos = int(drng.randint(halo, halo + B - len(p)))
+        data_np[ln, pos : pos + len(p)] = p
+    data = jax.device_put(data_np)
+    bounds = jax.device_put(
+        np.stack([np.full(C, halo, np.int32),
+                  np.full(C, halo + B, np.int32)])
+    )
+
+    # the union bitmap, computed once (on deployed hardware this is the
+    # all_gather+OR over ICI; its cost is not measurable through one chip)
+    u_total, union = _sharded_hits_jit(
+        data, bounds, wordsS, cfg=cfg, n_shards=S, interpret=interpret
+    )
+    union = jax.device_put(np.asarray(union))
+    union_total = int(np.asarray(u_total)[0])
+
+    # ---- arm 1: own-shard probe (the one_shard kernel) --------------------
+    @functools.partial(jax.jit, static_argnames=("K",))
+    def probe_rep(data, bounds, *, K):
+        def body(acc, _):
+            b2 = bounds.at[0, 0].add(acc & 1)
+            total, _bits = _hits_jit(data, b2, words0, cfg=cfg,
+                                     interpret=interpret)
+            return acc + total[0], None
+
+        acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.int32), None,
+                              length=K)
+        return acc
+
+    # ---- arm 2: own-table verify of the union bitmap ----------------------
+    def make_ver(k_cand, k_walk):
+        @functools.partial(jax.jit, static_argnames=("K",))
+        def ver_rep(data, bounds, union, *, K):
+            def body(acc, _):
+                b2 = bounds.at[0, 0].add(acc & 1)
+                meta, packed, gc = _verify_kernel(
+                    table0, gid0, data, b2, union, exact_lo0, exact_hi0,
+                    alphabet_size=256, stride=cfg.stride, q=cfg.q,
+                    lmax=lmax, halo=halo, k_cand=k_cand, k_ev=k_walk,
+                    num_groups=gmax, exact_meta=exact_meta,
+                    k_walk=k_walk,
+                )
+                return acc + meta[0] + gc[0] + (jnp.sum(packed) & 1), meta[3]
+
+            acc, flags = jax.lax.scan(
+                body, jnp.zeros((), jnp.int32), None, length=K
+            )
+            return acc, flags[-1]
+
+        return ver_rep
+
+    k_cand = next_cap(min(MAX_DEVICE_CAND, max(4096, union_total)))
+    k_walk = next_cap(max(2048, union_total // (2 * S)))
+    for _ in range(3):
+        ver_rep = make_ver(k_cand, k_walk)
+        _acc, flags = ver_rep(data, bounds, union, K=1)
+        f = int(np.asarray(flags))
+        if not f:
+            break
+        if f & (2 | 4):
+            k_walk = next_cap(k_walk * 2)
+        if f & 1:
+            k_cand = next_cap(min(MAX_DEVICE_CAND, k_cand * 2))
+
+    arms = {
+        "probe": lambda K: int(probe_rep(data, bounds, K=K)),
+        "verify": lambda K: int(ver_rep(data, bounds, union, K=K)[0]),
+    }
+    K_LO, K_HI = 1, 5
+    for run in arms.values():
+        run(K_LO)
+        run(K_HI)
+    best = {name: {K_LO: float("inf"), K_HI: float("inf")}
+            for name in arms}
+    for _round in range(5):
+        for name, run in arms.items():
+            for K in (K_LO, K_HI):
+                t0 = time.perf_counter()
+                run(K)
+                best[name][K] = min(best[name][K],
+                                    time.perf_counter() - t0)
+    per = {n: (best[n][K_HI] - best[n][K_LO]) / (K_HI - K_LO)
+           for n in arms}
+
+    # ---- decode: one verify dispatch, fetch, host merge against shard 0 ---
+    ver_jit = jax.jit(
+        lambda d, b, u: _verify_kernel(
+            table0, gid0, d, b, u, exact_lo0, exact_hi0,
+            alphabet_size=256, stride=cfg.stride, q=cfg.q, lmax=lmax,
+            halo=halo, k_cand=k_cand, k_ev=k_walk, num_groups=gmax,
+            exact_meta=exact_meta, k_walk=k_walk,
+        )
+    )
+    ver_jit(data, bounds, union)
+    best_decode = float("inf")
+    n_shard0_events = 0
+    for _round in range(3):
+        t0 = time.perf_counter()
+        meta_d, packed_d, _gc = ver_jit(data, bounds, union)
+        meta = np.asarray(meta_d)
+        packed = np.asarray(packed_d)[:, : int(meta[1])]
+        n_shard0_events = len({(int(a), int(b)) for a, b in packed[:2].T})
+        best_decode = min(best_decode, time.perf_counter() - t0)
+
+    return {
+        "split_flags": f,
+        "split_k_cand": k_cand,
+        "split_k_walk": k_walk,
+        "split_union_survivors": union_total,
+        "split_probe_s_per_batch": per["probe"],
+        "split_verify_s_per_batch": per["verify"],
+        "split_per_chip_bytes_per_s": size / (per["probe"] + per["verify"]),
+        "split_decode_s_per_batch_tunnel_bound": best_decode,
+        "split_shard0_events": n_shard0_events,
     }
 
 

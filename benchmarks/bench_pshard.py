@@ -264,9 +264,13 @@ def mux_count_arm(jax, jnp, pats, sharded, C, B0, halo, interpret,
                   np.full(C, halo + B, np.int32)])
     )
 
+    # the tables are jit ARGUMENTS (not closures): closed-over arrays
+    # embed as HLO constants and the 8-shard table set blows the remote
+    # compiler's request limit (see split_arm / BENCH_NOTES round 5)
     def make_mux(k_cand, k_walk):
         @functools.partial(jax.jit, static_argnames=("K",))
-        def mux(data, bounds, *, K):
+        def mux(table_flat, state_gid, exact_lo, exact_hi, wordsS,
+                data, bounds, *, K):
             def body(acc, _):
                 b2 = bounds.at[0, 0].add(acc & 1)
                 union = None
@@ -309,7 +313,8 @@ def mux_count_arm(jax, jnp, pats, sharded, C, B0, halo, interpret,
     k_walk = next_cap(max(2048, union_total // (2 * S)))
     for _ in range(3):
         mux = make_mux(k_cand, k_walk)
-        _acc, flags = mux(data, bounds, K=1)
+        _acc, flags = mux(table_flat, state_gid, exact_lo, exact_hi,
+                          wordsS, data, bounds, K=1)
         f = int(np.asarray(flags))
         if not f:
             break
@@ -319,7 +324,8 @@ def mux_count_arm(jax, jnp, pats, sharded, C, B0, halo, interpret,
             k_cand = next_cap(min(MAX_DEVICE_CAND, k_cand * 2))
 
     def run(K):
-        acc, flags = mux(data, bounds, K=K)
+        acc, flags = mux(table_flat, state_gid, exact_lo, exact_hi,
+                         wordsS, data, bounds, K=K)
         return int(acc) + int(np.asarray(flags)) * 0
 
     K_LO, K_HI = 1, 5
@@ -413,35 +419,39 @@ def mux_events_arm(jax, jnp, sharded, shard_tables, C, B0, halo,
                   np.full(C, halo + B, np.int32)])
     )
 
-    def shard_verify(data, b2, union, s, k_cand, k_walk):
+    # tables/words as jit ARGUMENTS, not closures (HLO-constant blow-up,
+    # see split_arm / BENCH_NOTES round 5)
+    def shard_verify(tf, sg, xlo, xhi, data, b2, union, s, k_cand,
+                     k_walk):
         return _verify_kernel(
-            table_flat[s], state_gid[s], data, b2, union,
-            exact_lo[s],
-            exact_hi[s] if exact_hi is not None else None,
+            tf[s], sg[s], data, b2, union,
+            xlo[s],
+            xhi[s] if xhi is not None else None,
             alphabet_size=256, stride=cfg.stride, q=cfg.q,
             lmax=lmax, halo=halo, k_cand=k_cand, k_ev=k_walk,
             num_groups=gmax, exact_meta=exact_meta, k_walk=k_walk,
         )
 
-    def union_bits(data, b2):
+    def union_bits(wS, data, b2):
         union = None
         for s in range(S):
-            _t, bits = _hits_jit(data, b2, wordsS[s], cfg=cfg,
+            _t, bits = _hits_jit(data, b2, wS[s], cfg=cfg,
                                  interpret=interpret)
             union = bits if union is None else union | bits
         return union
 
     def make_mux(k_cand, k_walk):
         @functools.partial(jax.jit, static_argnames=("K",))
-        def mux(data, bounds, *, K):
+        def mux(tf, sg, xlo, xhi, wS, data, bounds, *, K):
             def body(acc, _):
                 b2 = bounds.at[0, 0].add(acc & 1)
-                union = union_bits(data, b2)
+                union = union_bits(wS, data, b2)
                 tot = jnp.zeros((), jnp.int32)
                 flags = jnp.zeros((), jnp.int32)
                 for s in range(S):
                     meta, packed, _gc = shard_verify(
-                        data, b2, union, s, k_cand, k_walk
+                        tf, sg, xlo, xhi, data, b2, union, s, k_cand,
+                        k_walk
                     )
                     # fold the packed tuples into the carried scalar so
                     # the event emission stays in the compiled program
@@ -465,7 +475,8 @@ def mux_events_arm(jax, jnp, sharded, shard_tables, C, B0, halo,
     k_walk = next_cap(max(2048, union_total // (2 * S)))
     for _ in range(3):
         mux = make_mux(k_cand, k_walk)
-        _acc, flags = mux(data, bounds, K=1)
+        _acc, flags = mux(table_flat, state_gid, exact_lo, exact_hi,
+                          wordsS, data, bounds, K=1)
         f = int(np.asarray(flags))
         if not f:
             break
@@ -475,7 +486,8 @@ def mux_events_arm(jax, jnp, sharded, shard_tables, C, B0, halo,
             k_cand = next_cap(min(MAX_DEVICE_CAND, k_cand * 2))
 
     def run(K):
-        acc, _fl = mux(data, bounds, K=K)
+        acc, _fl = mux(table_flat, state_gid, exact_lo, exact_hi,
+                       wordsS, data, bounds, K=K)
         return int(acc)
 
     K_LO, K_HI = 1, 5
@@ -491,17 +503,19 @@ def mux_events_arm(jax, jnp, sharded, shard_tables, C, B0, halo,
 
     # --- decode arm: one dispatch, fetch, cross-shard merge ---------------
     @jax.jit
-    def one_shot(data, bounds):
-        union = union_bits(data, bounds)
-        return [shard_verify(data, bounds, union, s, k_cand, k_walk)
+    def one_shot(tf, sg, xlo, xhi, wS, data, bounds):
+        union = union_bits(wS, data, bounds)
+        return [shard_verify(tf, sg, xlo, xhi, data, bounds, union, s,
+                             k_cand, k_walk)
                 for s in range(S)]
 
-    one_shot(data, bounds)  # compile
+    args8 = (table_flat, state_gid, exact_lo, exact_hi, wordsS)
+    one_shot(*args8, data, bounds)  # compile
     best_decode = float("inf")
     merged_events = 0
     for _round in range(3):
         t0 = time.perf_counter()
-        outs = one_shot(data, bounds)
+        outs = one_shot(*args8, data, bounds)
         seen = {}
         for s, (meta_d, packed_d, _gc) in enumerate(outs):
             meta = np.asarray(meta_d)
@@ -616,9 +630,14 @@ def split_arm(jax, jnp, sharded, shard_tables, C, B0, halo, interpret,
         return acc
 
     # ---- arm 2: own-table verify of the union bitmap ----------------------
+    # NOTE the table/gram planes are jit ARGUMENTS, not closures: a
+    # closed-over concrete array embeds as an HLO constant, and at 300k
+    # scale the shipped compile request exceeds the remote compiler's
+    # body limit (HTTP 413 — how the first run of this arm died)
     def make_ver(k_cand, k_walk):
         @functools.partial(jax.jit, static_argnames=("K",))
-        def ver_rep(data, bounds, union, *, K):
+        def ver_rep(table0, gid0, exact_lo0, exact_hi0, data, bounds,
+                    union, *, K):
             def body(acc, _):
                 b2 = bounds.at[0, 0].add(acc & 1)
                 meta, packed, gc = _verify_kernel(
@@ -641,7 +660,8 @@ def split_arm(jax, jnp, sharded, shard_tables, C, B0, halo, interpret,
     k_walk = next_cap(max(2048, union_total // (2 * S)))
     for _ in range(3):
         ver_rep = make_ver(k_cand, k_walk)
-        _acc, flags = ver_rep(data, bounds, union, K=1)
+        _acc, flags = ver_rep(table0, gid0, exact_lo0, exact_hi0,
+                              data, bounds, union, K=1)
         f = int(np.asarray(flags))
         if not f:
             break
@@ -652,7 +672,9 @@ def split_arm(jax, jnp, sharded, shard_tables, C, B0, halo, interpret,
 
     arms = {
         "probe": lambda K: int(probe_rep(data, bounds, K=K)),
-        "verify": lambda K: int(ver_rep(data, bounds, union, K=K)[0]),
+        "verify": lambda K: int(ver_rep(table0, gid0, exact_lo0,
+                                        exact_hi0, data, bounds, union,
+                                        K=K)[0]),
     }
     K_LO, K_HI = 1, 5
     for run in arms.values():
@@ -672,19 +694,20 @@ def split_arm(jax, jnp, sharded, shard_tables, C, B0, halo, interpret,
 
     # ---- decode: one verify dispatch, fetch, host merge against shard 0 ---
     ver_jit = jax.jit(
-        lambda d, b, u: _verify_kernel(
-            table0, gid0, d, b, u, exact_lo0, exact_hi0,
+        lambda t0_, g0_, lo_, hi_, d, b, u: _verify_kernel(
+            t0_, g0_, d, b, u, lo_, hi_,
             alphabet_size=256, stride=cfg.stride, q=cfg.q, lmax=lmax,
             halo=halo, k_cand=k_cand, k_ev=k_walk, num_groups=gmax,
             exact_meta=exact_meta, k_walk=k_walk,
         )
     )
-    ver_jit(data, bounds, union)
+    ver_jit(table0, gid0, exact_lo0, exact_hi0, data, bounds, union)
     best_decode = float("inf")
     n_shard0_events = 0
     for _round in range(3):
         t0 = time.perf_counter()
-        meta_d, packed_d, _gc = ver_jit(data, bounds, union)
+        meta_d, packed_d, _gc = ver_jit(table0, gid0, exact_lo0,
+                                        exact_hi0, data, bounds, union)
         meta = np.asarray(meta_d)
         packed = np.asarray(packed_d)[:, : int(meta[1])]
         n_shard0_events = len({(int(a), int(b)) for a, b in packed[:2].T})

@@ -595,15 +595,22 @@ class MeshDeviceVerifier:
 
         axis = self.ctx.axis
 
-        def local_step(data, bounds, bits):
+        # the dense/exact tables are shard_map ARGUMENTS, not closures: a
+        # closed-over concrete array embeds in the lowered module as a
+        # constant, which at large pattern scales bloats the HLO by the
+        # table size and overflows remote-compile transport limits
+        # (observed: HTTP 413 at a 300k-pattern 1/8-shard table,
+        # BENCH_NOTES round 5)
+        def local_step(table_flat, state_gid, exact_lo, exact_hi,
+                       data, bounds, bits):
             meta, packed, gcounts = _verify_kernel(
-                self.table_flat,
-                self.state_gid,
+                table_flat,
+                state_gid,
                 data,
                 bounds,
                 bits,
-                self.exact_lo,
-                self.exact_hi,
+                exact_lo,
+                exact_hi,
                 alphabet_size=self.alphabet_size,
                 stride=self.stride,
                 q=self.q,
@@ -635,7 +642,8 @@ class MeshDeviceVerifier:
             shard_map(
                 local_step,
                 mesh=self.ctx.mesh,
-                in_specs=(P(axis), P(None, axis), P(None, axis)),
+                in_specs=(P(), P(), P(), P(),
+                          P(axis), P(None, axis), P(None, axis)),
                 out_specs=(P(), P(axis, None), P(None, axis), P()),
                 check_vma=False,
             )
@@ -702,19 +710,22 @@ class MeshDeviceVerifier:
         else:
             k_walk = k_ev = min(k_cand, self._k_walk)
         needs_d, metas, packed, gc = self._step(k_cand, k_ev, k_walk)(
-            data, bounds, bits
+            self.table_flat, self.state_gid, self.exact_lo,
+            self.exact_hi, data, bounds, bits
         )
         needs = np.asarray(needs_d)
         if needs[3] & 4:  # refine overflow: retry with the exact need
             k_walk = k_ev = min(k_cand, next_cap(int(needs[2])))
             needs_d, metas, packed, gc = self._step(k_cand, k_ev, k_walk)(
-                data, bounds, bits
+                self.table_flat, self.state_gid, self.exact_lo,
+                self.exact_hi, data, bounds, bits
             )
             needs = np.asarray(needs_d)
         if needs[3] & 2:  # event overflow: retry with the exact need
             k_ev = next_cap(int(needs[1]))
             needs_d, metas, packed, gc = self._step(k_cand, k_ev, k_walk)(
-                data, bounds, bits
+                self.table_flat, self.state_gid, self.exact_lo,
+                self.exact_hi, data, bounds, bits
             )
             needs = np.asarray(needs_d)
         if self.exact_meta is not None:

@@ -529,8 +529,11 @@ class MeshDeviceVerifier:
     candidate compaction, exact-gram refinement, windowed dense-table walk,
     attribution dedupe) PER SHARD under shard_map:
 
-    - the dense table / exact-gram tables replicate (closure-captured
-      device constants, like the count step's);
+    - the dense table / exact-gram tables replicate as shard_map
+      ARGUMENTS (a closed-over array would embed in the lowered module
+      as an HLO constant — table-sized payload bloat that overflows
+      remote-compile transport at 300k+ pattern scales, BENCH_NOTES
+      round 5);
     - packed ``(lane, end, state)`` event tuples come back LANE-SHARDED
       (``P(None, "data")``) — events stay host-local to the process that
       owns the lanes, exactly like the bitmap decode path, so multi-host

@@ -128,6 +128,8 @@ def run_trial(trial: int, master_seed: int) -> dict:
             arms["pshard_device_verify"] = dict(
                 engine="bloom", mesh=2, pat_shards=2, verify="device"
             )
+        # round 5: the dense engine's lane-sharded per-device compaction
+        arms["mesh_dense"] = dict(engine="dense", mesh=2, max_results=256)
     arms["dense"] = dict(engine="dense", max_results=256)
 
     ran = []
